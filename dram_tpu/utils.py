@@ -1,0 +1,199 @@
+"""Config system, reflection registry and small host-side helpers.
+
+Mirrors the public ergonomics of the reference config layer
+(/root/reference/dram/utils.py:29-69 Settings, :280-283 get_callable_by_name):
+settings are plain Python modules whose UPPERCASE names become attributes,
+and components are named by dotted strings in the config. Re-designed bits:
+a registry of short aliases maps reference-style names ("models.DC3D") onto
+this package's classes so reference configs keep working.
+"""
+
+from __future__ import annotations
+
+import csv
+import importlib
+import importlib.util
+import os
+import time
+
+
+def convert_dict_string(d, i=1):
+    sp = "    " * i
+    sp0 = "    " * (i - 1)
+    s = f"\n{sp0}{{"
+    for k, v in d.items():
+        if isinstance(v, dict):
+            s += f"\n{sp}{k}:{convert_dict_string(v, i + 1)}"
+        else:
+            s += f"\n{sp}{k}:{v}"
+    s += f"\n{sp0}}}"
+    return s
+
+
+class Settings:
+    """Exec-load a Python settings module; lift UPPERCASE names to attributes.
+
+    Same contract as the reference Settings (utils.py:42-69): any UPPERCASE
+    module-level name becomes a mutable attribute, `EXP_NAME` is compulsory,
+    `is_overridden` reports which settings were explicit, and `str(settings)`
+    pretty-prints the whole config (dumped to settings.txt by the trainer).
+    """
+
+    COMPULSORY = ("EXP_NAME",)
+
+    def __init__(self, settings_module_path, settings_name="settings"):
+        self.settings_module_path = settings_module_path
+        spec = importlib.util.spec_from_file_location(settings_name, settings_module_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        self._explicit_settings = set()
+        for setting in dir(mod):
+            if setting.isupper():
+                value = getattr(mod, setting)
+                if setting in self.COMPULSORY and value is None:
+                    raise AttributeError(f"The {setting} setting must be not None.")
+                setattr(self, setting, value)
+                self._explicit_settings.add(setting)
+        for setting in self.COMPULSORY:
+            if not hasattr(self, setting):
+                raise AttributeError(f"Settings module must define {setting}.")
+
+    def is_overridden(self, setting):
+        return setting in self._explicit_settings
+
+    def get(self, name, default=None):
+        return getattr(self, name, default)
+
+    def __str__(self):
+        d = {k: v for k, v in self.__dict__.items() if k.isupper()}
+        return convert_dict_string(d)
+
+
+# ---------------------------------------------------------------------------
+# Reflection registry.
+#
+# Reference configs name components "models.DC3D", "metrics.IntRegRefineLoss",
+# "torch.optim.Adam" etc. (st_dram_ref.py:55,92,110). We keep that surface but
+# resolve through an alias table first, so that unmodified reference-style
+# configs resolve to the TPU-native implementations.
+# ---------------------------------------------------------------------------
+
+_ALIASES = {
+    # models
+    "models.DC3D": "dram_tpu.models.unet3d.DC3D",
+    "models.DC3DATGeneric": "dram_tpu.models.dc3d_at.DC3DATGeneric",
+    "models.HeNorm": "dram_tpu.models.initializers.HeNorm",
+    "models.PCM": "dram_tpu.models.pcm.PCM",
+    # losses
+    "metrics.IntRegLoss": "dram_tpu.losses.interval_reg.IntRegLoss",
+    "metrics.IntRegRefineLoss": "dram_tpu.losses.refine.IntRegRefineLoss",
+    "metrics.IntRegAffLoss": "dram_tpu.losses.equivariance.IntRegAffLoss",
+    "metrics.IntRegAffRefineLoss": "dram_tpu.losses.equivariance.IntRegAffRefineLoss",
+    "metrics.BootBinCrossEntropy": "dram_tpu.losses.bootstrap_bce.BootBinCrossEntropy",
+    "metrics.BinaryCrossEntropySmooth": "dram_tpu.losses.bootstrap_bce.BinaryCrossEntropySmooth",
+    # optimizers / schedulers (torch names -> optax factories)
+    "torch.optim.Adam": "dram_tpu.train.trainer.adam",
+    "torch.optim.SGD": "dram_tpu.train.trainer.sgd",
+    "torch.optim.lr_scheduler.ExponentialLR": "dram_tpu.train.trainer.exponential_lr",
+    # runners
+    "job_runner.LesionSegChunkTrain": "dram_tpu.train.trainer.LesionSegChunkTrain",
+    "job_runner.LesionSegTest": "dram_tpu.infer.engine.LesionSegTest",
+}
+
+
+def get_callable_by_name(dotted_name):
+    """Dotted string -> callable, resolving reference-style aliases first."""
+    dotted_name = _ALIASES.get(dotted_name, dotted_name)
+    module_name, _, attr = dotted_name.rpartition(".")
+    return getattr(importlib.import_module(module_name), attr)
+
+
+def register_alias(name, target):
+    _ALIASES[name] = target
+
+
+# ---------------------------------------------------------------------------
+# CSV helpers (same contracts as reference utils.py:17-27, 256-278).
+# ---------------------------------------------------------------------------
+
+def read_csv_in_dict(csv_file_path, column_key, fieldnames=None):
+    row_dict = {}
+    if not os.path.exists(csv_file_path):
+        return row_dict, None
+    with open(csv_file_path, "rt") as fp:
+        cr = csv.DictReader(fp, delimiter=",", fieldnames=fieldnames)
+        for row in cr:
+            row_dict[row[column_key]] = row
+        field_names = cr.fieldnames
+    return row_dict, field_names
+
+
+def read_csv_in_dict_double(csv_file_path, column_keys, fieldnames=None):
+    row_dict = {}
+    if not os.path.exists(csv_file_path):
+        return row_dict, None
+    with open(csv_file_path, "rt") as fp:
+        cr = csv.DictReader(fp, delimiter=",", fieldnames=fieldnames)
+        for row in cr:
+            row_dict[tuple(row[k] for k in column_keys)] = row
+        field_names = cr.fieldnames
+    return row_dict, field_names
+
+
+def get_value_recursively(search_dict, field):
+    """Find every value stored under key `field` in a nested dict/list tree."""
+    found = []
+    for key, value in search_dict.items():
+        if key == field:
+            found.append(value)
+        elif isinstance(value, dict):
+            found.extend(get_value_recursively(value, field))
+        elif isinstance(value, list):
+            for item in value:
+                if isinstance(item, dict):
+                    found.extend(get_value_recursively(item, field))
+    return found
+
+
+# ---------------------------------------------------------------------------
+# Meters (reference utils.py:98-125).
+# ---------------------------------------------------------------------------
+
+class AverageMeter:
+    """Stores current value, running sum and average."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class MovingAverage:
+    def __init__(self, inertia=0.9):
+        self.inertia = inertia
+        self.reset()
+
+    def reset(self):
+        self.avg = 0.0
+
+    def update(self, val):
+        self.avg = self.inertia * self.avg + (1 - self.inertia) * val
+
+
+class Timer:
+    def __init__(self):
+        self.t0 = time.time()
+
+    def elapsed(self):
+        return time.time() - self.t0

@@ -1,0 +1,131 @@
+"""Resize/resample parity tests: torch is the oracle for model-internal
+semantics (align_corners trilinear / nearest), and hand-computed index maps
+validate the ITK-style data-pipeline resampler."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dram_tpu.core import resample
+
+
+class TestTorchParity:
+    @pytest.mark.parametrize("in_size,out_size", [
+        ((8, 8, 8), (16, 16, 16)),
+        ((10, 12, 14), (7, 9, 21)),
+        ((5, 5, 5), (5, 5, 5)),
+        ((20, 20, 20), (64, 64, 64)),
+    ])
+    def test_trilinear_align_corners(self, in_size, out_size, rng):
+        x = rng.normal(size=(2, *in_size, 3)).astype(np.float32)
+        got = np.asarray(resample.resize3d(jnp.asarray(x), out_size, "trilinear"))
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        want = F.interpolate(xt, size=out_size, mode="trilinear", align_corners=True)
+        want = want.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    @pytest.mark.parametrize("in_size,out_size", [
+        ((8, 8, 8), (16, 16, 16)),
+        ((9, 11, 13), (5, 6, 7)),
+    ])
+    def test_nearest(self, in_size, out_size, rng):
+        x = rng.normal(size=(1, *in_size, 2)).astype(np.float32)
+        got = np.asarray(resample.resize3d(jnp.asarray(x), out_size, "nearest"))
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        want = F.interpolate(xt, size=out_size, mode="nearest")
+        want = want.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_array_equal(got, want)
+
+    def test_3d_input_rank(self, rng):
+        x = rng.normal(size=(6, 6, 6)).astype(np.float32)
+        got = np.asarray(resample.resize3d(jnp.asarray(x), (12, 12, 12), "trilinear"))
+        want = F.interpolate(torch.from_numpy(x)[None, None], size=(12, 12, 12),
+                             mode="trilinear", align_corners=True)[0, 0].numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestITKResample:
+    def test_identity(self, rng):
+        x = rng.normal(size=(9, 9, 9)).astype(np.float32)
+        y = np.asarray(resample.itk_resample3d(jnp.asarray(x), (9, 9, 9), scales=[1, 1, 1]))
+        np.testing.assert_allclose(y, x, atol=1e-6)
+
+    def test_linear_ramp_exact(self):
+        # a linear ramp is reproduced exactly by linear interpolation at
+        # src = i_out * scale
+        x = np.arange(16, dtype=np.float32)
+        vol = np.broadcast_to(x[:, None, None], (16, 4, 4)).copy()
+        out = np.asarray(resample.itk_resample3d(jnp.asarray(vol), (8, 4, 4),
+                                                 scales=[2.0, 1.0, 1.0]))
+        want = np.broadcast_to((np.arange(8) * 2.0).astype(np.float32)[:, None, None],
+                               (8, 4, 4))
+        np.testing.assert_allclose(out[:8], want, atol=1e-5)
+
+    def test_fill_value_outside(self):
+        vol = np.ones((4, 4, 4), np.float32)
+        # upscale grid with scale 2: outputs at src>3.5 are outside
+        out = np.asarray(resample.itk_resample3d(jnp.asarray(vol), (8, 4, 4),
+                                                 scales=[2.0, 1.0, 1.0],
+                                                 fill_value=-7.0))
+        assert out[0, 0, 0] == pytest.approx(1.0)
+        assert out[1, 0, 0] == pytest.approx(1.0)   # src=2 inside
+        assert out[2, 0, 0] == pytest.approx(-7.0)  # src=4 > 3.5 outside
+
+    def test_nearest_round_half_up(self):
+        vol = np.arange(4, dtype=np.float32).reshape(4, 1, 1) * np.ones((4, 2, 2), np.float32)
+        out = np.asarray(resample.itk_resample3d(jnp.asarray(vol), (8, 2, 2),
+                                                 scales=[0.5, 1.0, 1.0], method="nearest"))
+        # src = 0, .5, 1, 1.5, 2... round-half-up -> 0,1,1,2,2,3,3,4(clamp)
+        np.testing.assert_array_equal(out[:, 0, 0], [0, 1, 1, 2, 2, 3, 3, 3])
+
+    def test_to_spacing_size_inference(self):
+        vol = np.zeros((10, 20, 30), np.float32)
+        y, sp = resample.itk_resample_to_spacing(jnp.asarray(vol), (2.0, 1.0, 1.0),
+                                                 out_spacing=(1.0, 1.0, 1.0))
+        assert y.shape == (20, 20, 30)
+        assert sp == (1.0, 1.0, 1.0)
+
+    def test_device_matches_host_twin(self, rng):
+        x = rng.normal(size=(11, 9, 7)).astype(np.float32)
+        a = np.asarray(resample.itk_resample3d(jnp.asarray(x), (6, 6, 6),
+                                               scales=[11 / 6, 9 / 6, 7 / 6]))
+        b = resample.itk_resample3d_np(x, (6, 6, 6), scales=[11 / 6, 9 / 6, 7 / 6])
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestMhaIO:
+    def test_roundtrip_compressed(self, tmp_path, rng):
+        from dram_tpu.data import io
+        arr = (rng.normal(size=(7, 9, 11)) * 100).astype(np.int16)
+        p = str(tmp_path / "vol.mha")
+        io.write_mha(p, arr, spacing=(2.5, 0.7, 0.7), origin=(1.0, -2.0, 3.0))
+        got = io.read_mha(p)
+        np.testing.assert_array_equal(got["array"], arr)
+        assert got["spacing"] == pytest.approx((2.5, 0.7, 0.7))
+        assert got["origin"] == pytest.approx((1.0, -2.0, 3.0))
+
+    def test_roundtrip_uncompressed_uint8(self, tmp_path, rng):
+        from dram_tpu.data import io
+        arr = (rng.random((5, 6, 7)) > 0.5).astype(np.uint8)
+        p = str(tmp_path / "mask.mha")
+        io.write_mha(p, arr, compress=False)
+        got = io.read_mha(p)
+        np.testing.assert_array_equal(got["array"], arr)
+
+    def test_direction_roundtrip(self, tmp_path):
+        from dram_tpu.data import io
+        arr = np.zeros((3, 4, 5), np.uint8)
+        direction = np.asarray([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.float64).flatten().tolist()
+        p = str(tmp_path / "d.mha")
+        io.write_mha(p, arr, direction=direction)
+        got = io.read_mha(p)
+        np.testing.assert_allclose(got["direction"], direction)
+
+    def test_float_volume(self, tmp_path, rng):
+        from dram_tpu.data import io
+        arr = rng.normal(size=(4, 4, 4)).astype(np.float32)
+        p = str(tmp_path / "f.mha")
+        io.write_mha(p, arr)
+        np.testing.assert_allclose(io.read_mha(p)["array"], arr)
