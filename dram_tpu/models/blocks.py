@@ -1,0 +1,227 @@
+"""3-D conv building blocks (flax.linen, NDHWC, bf16-friendly).
+
+TPU-native equivalents of the reference conv stacks (reference parts.py:
+ConvBlock5d :66-113, UpsampleConvBlock5d :116-155, ConvPoolBlock5d :157-196,
+normal_wrapper :17-35, crop_concat_5d :37-46). Differences by design:
+
+* channels-last NDHWC layout (XLA tiles 3-D convs onto the MXU best this way)
+* trilinear upsampling is the shared separable-matrix resize (core.resample),
+  align_corners=True to match the reference's nn.Upsample
+* 'sbn' (SyncBatchNorm) needs no special layer: under pjit with the batch
+  axis sharded, batch-stat reductions are already global (XLA inserts the
+  cross-replica collectives); an optional axis_name covers shard_map/pmap use
+* mixed precision: `dtype` controls activation/compute dtype, params stay f32
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .initializers import kaiming_normal_conv
+from jax.nn.initializers import constant
+
+Dtype = Any
+
+
+def make_norm(norm_method, dtype=jnp.float32, axis_name=None):
+    """String -> norm layer factory. Mirrors reference normal_wrapper:
+
+    bn    BatchNorm with running stats
+    bnt   BatchNorm, no running stats (batch stats also in eval)
+    bntna BatchNorm, no running stats, no affine
+    ln    GroupNorm(1) (a.k.a. layer norm over C,D,H,W)
+    lnna  GroupNorm(1) without affine
+    in    InstanceNorm (GroupNorm with one group per channel)
+    sbn   cross-replica BatchNorm (axis_name'd when under shard_map/pmap)
+    None  identity
+    """
+    def build(use_running_average):
+        if norm_method in ("bn", "sbn"):
+            return nn.BatchNorm(use_running_average=use_running_average,
+                                momentum=0.9, epsilon=1e-5, dtype=dtype,
+                                axis_name=axis_name if norm_method == "sbn" else None)
+        if norm_method == "bnt":
+            return nn.BatchNorm(use_running_average=False, momentum=0.9,
+                                epsilon=1e-5, dtype=dtype)
+        if norm_method == "bntna":
+            return nn.BatchNorm(use_running_average=False, momentum=0.9,
+                                epsilon=1e-5, use_bias=False, use_scale=False,
+                                dtype=dtype)
+        if norm_method == "ln":
+            return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dtype)
+        if norm_method == "lnna":
+            return nn.GroupNorm(num_groups=1, epsilon=1e-5, use_bias=False,
+                                use_scale=False, dtype=dtype)
+        if norm_method == "in":
+            return nn.GroupNorm(group_size=1, epsilon=1e-5, dtype=dtype)
+        if norm_method is None or norm_method == "none":
+            return None
+        raise NotImplementedError(f"norm method {norm_method}")
+    return build
+
+
+def make_act(act_method):
+    if act_method == "relu":
+        return nn.relu
+    if act_method == "prelu":
+        return nn.PReLU()
+    raise NotImplementedError(f"act method {act_method}")
+
+
+def crop_concat(t1, t2):
+    """Center-crop skip tensor t2 to t1's spatial size, concat channels.
+
+    NDHWC version of reference crop_concat_5d (parts.py:37-46): t1 is the
+    upsampled decoder tensor, t2 the encoder skip (t1 <= t2 spatially).
+    """
+    assert t1.ndim == t2.ndim == 5
+    slices = [slice(None)]
+    for a, b in zip(t1.shape[1:4], t2.shape[1:4]):
+        start = int(np.ceil((b - a) / 2))
+        slices.append(slice(start, start + a))
+    slices.append(slice(None))
+    return jnp.concatenate([t1, t2[tuple(slices)]], axis=-1)
+
+
+def _as_list(v, n):
+    if isinstance(v, (tuple, list)):
+        return list(v)
+    return [v] * n
+
+
+class ConvStack(nn.Module):
+    """N x (Conv3d -> norm -> act [-> dropout]) shared by all blocks."""
+
+    features: Sequence[int]
+    kernel_sizes: Sequence[int]
+    paddings: Sequence[int]
+    strides: Sequence[int]
+    use_bias: bool
+    norm_method: str | None = "bn"
+    act_method: str = "relu"
+    dropout: float = 0.0
+    train: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        norm_factory = make_norm(self.norm_method, self.dtype, self.axis_name)
+        act = make_act(self.act_method)
+        for i, feat in enumerate(self.features):
+            k = self.kernel_sizes[i]
+            p = self.paddings[i]
+            s = self.strides[i]
+            x = nn.Conv(features=feat,
+                        kernel_size=(k, k, k),
+                        strides=(s, s, s),
+                        padding=[(p, p)] * 3,
+                        use_bias=self.use_bias,
+                        kernel_init=kaiming_normal_conv,
+                        bias_init=constant(0.01),
+                        dtype=self.dtype,
+                        name=f"conv_{i}")(x)
+            norm = norm_factory(use_running_average=not self.train)
+            if norm is not None:
+                x = norm(x)
+            x = act(x)
+            if self.dropout > 0:
+                x = nn.Dropout(rate=self.dropout,
+                               deterministic=not self.train)(x)
+        return x
+
+
+class ConvBlock5d(nn.Module):
+    """Plain conv stack (bottleneck block)."""
+
+    features: Sequence[int]
+    kernel_size: Any = 3
+    padding: Any = 1
+    strides: Any = 1
+    use_bias: bool = False
+    norm_method: str | None = "bn"
+    act_method: str = "relu"
+    dropout: float = 0.0
+    train: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.features)
+        return ConvStack(self.features,
+                         _as_list(self.kernel_size, n),
+                         _as_list(self.padding, n),
+                         _as_list(self.strides, n),
+                         self.use_bias, self.norm_method, self.act_method,
+                         self.dropout, self.train, self.dtype,
+                         self.axis_name, name="convs")(x)
+
+
+class ConvPoolBlock5d(nn.Module):
+    """Conv stack returning (pre-pool features, 2x-maxpooled features)."""
+
+    features: Sequence[int]
+    kernel_size: Any = 3
+    padding: Any = 1
+    use_bias: bool = False
+    pool_size: int = 2
+    pool_strides: int = 2
+    norm_method: str | None = "bn"
+    act_method: str = "relu"
+    dropout: float = 0.0
+    train: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.features)
+        y = ConvStack(self.features,
+                      _as_list(self.kernel_size, n),
+                      _as_list(self.padding, n),
+                      [1] * n,
+                      self.use_bias, self.norm_method, self.act_method,
+                      self.dropout, self.train, self.dtype,
+                      self.axis_name, name="convs")(x)
+        pooled = nn.max_pool(y, window_shape=(self.pool_size,) * 3,
+                             strides=(self.pool_strides,) * 3)
+        return y, pooled
+
+
+class UpsampleConvBlock5d(nn.Module):
+    """Trilinear x2 upsample -> crop-concat skip -> conv stack."""
+
+    features: Sequence[int]
+    scale_factor: int = 2
+    kernel_size: Any = 3
+    padding: Any = 1
+    use_bias: bool = False
+    norm_method: str | None = "bn"
+    act_method: str = "relu"
+    dropout: float = 0.0
+    train: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, skip):
+        from ..core.resample import resize3d
+        sf = self.scale_factor
+        if isinstance(sf, (tuple, list)):
+            sf = sf[0]
+        out_size = tuple(int(s * sf) for s in x.shape[1:4])
+        x = resize3d(x, out_size, method="trilinear", align_corners=True)
+        x = crop_concat(x, skip)
+        n = len(self.features)
+        return ConvStack(self.features,
+                         _as_list(self.kernel_size, n),
+                         _as_list(self.padding, n),
+                         [1] * n,
+                         self.use_bias, self.norm_method, self.act_method,
+                         self.dropout, self.train, self.dtype,
+                         self.axis_name, name="convs")(x)
