@@ -1,0 +1,215 @@
+"""Loss-layer tests against hand-written NumPy/torch oracles that follow the
+reference math literally (boolean indexing, torch.split per-lobe means)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from dram_tpu.losses import (BootBinCrossEntropy, IntRegLoss, IntRegRefineLoss,
+                             IntRegAffLoss)
+from dram_tpu.losses.interval_reg import (compute_reg_loss_with_probs,
+                                          compute_enc_loss, get_labels,
+                                          ratio_to_label, CTSS_RATIO_LB,
+                                          CTSS_RATIO_UB)
+from dram_tpu.losses.refine import pseudo_labels
+from dram_tpu.losses.equivariance import smooth_l1_masked, OneShotTransform
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def boot_bce_oracle(p, t, voi, smoothing):
+    """Literal reference BootBinCrossEntropy (metrics.py:10-51)."""
+    eps = 1e-7
+    p, t, voi = (np.asarray(a, np.float64).ravel() for a in (p, t, voi))
+    tb = voi < 1e-7
+    po, to = p[tb], t[tb]
+    pto = np.clip(po * to + (1 - po) * (1 - to), eps, 1 - eps)
+    bceo = (-np.log(pto)).mean()
+    tf = voi > 0
+    if tf.sum() == 0:
+        return bceo
+    pi, ti = p[tf], t[tf]
+    alpha = np.clip(1.0 - ti.sum() / tf.sum(), 0.25, 0.75)
+    pti = np.clip(pi * ti + (1 - pi) * (1 - ti), eps, 1 - eps)
+    w = alpha * ti + (1 - alpha) * (1 - ti)
+    bce = (-np.log(pti) * w).sum() / w.sum()
+    ti_hat = (pi > 0.5).astype(np.float64)
+    pit = np.clip(pi * ti_hat + (1 - pi) * (1 - ti_hat), eps, 1 - eps)
+    boot = (-np.log(pit)).mean()
+    return bceo + (1 - smoothing) * bce + smoothing * boot
+
+
+def reg_loss_oracle(probs, lobes, cands, ctsses, band_width, freq):
+    """Literal reference compute_reg_loss_with_probs (metrics.py:158-177)."""
+    B = probs.shape[0]
+    loss = 0.0
+    for b in range(B):
+        lobe = lobes[b] > 0
+        rub = (cands[b] * lobe).sum() / lobe.sum()
+        pred = probs[b][lobe].mean()
+        lb, ub = max(0.0, rub - band_width), min(1.0, rub + band_width)
+        clb, cub = CTSS_RATIO_LB[ctsses[b]], CTSS_RATIO_UB[ctsses[b]]
+        lo, hi = max(clb, lb), min(cub, ub)
+        if hi < lo:
+            if ub <= clb:
+                lo, hi = lb, ub
+            elif lb >= cub:
+                lo, hi = clb, cub
+        K = (0.5 * (hi - lo)) ** 2
+        unhinged = (pred - (hi + lo) / 2.0) ** 2 - K
+        wf = np.clip(freq[ctsses[b]], 0.2, 0.8)
+        loss += max(unhinged, 0.0) / wf
+    return loss
+
+
+class TestBootBCE:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_reference_math(self, seed):
+        rng = np.random.default_rng(seed)
+        p = rng.random((2, 6, 6, 6, 1)).astype(np.float32)
+        voi = (rng.random((2, 6, 6, 6, 1)) > 0.4).astype(np.float32)
+        t = ((rng.random((2, 6, 6, 6, 1)) > 0.7) & (voi > 0)).astype(np.float32)
+        got = float(BootBinCrossEntropy(0.1)(jnp.asarray(p), jnp.asarray(t),
+                                             jnp.asarray(voi)))
+        want = boot_bce_oracle(p, t, voi, 0.1)
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_empty_inside(self):
+        p = np.full((1, 4, 4, 4, 1), 0.3, np.float32)
+        voi = np.zeros_like(p)
+        t = np.zeros_like(p)
+        got = float(BootBinCrossEntropy(0.1)(jnp.asarray(p), jnp.asarray(t),
+                                             jnp.asarray(voi)))
+        want = boot_bce_oracle(p, t, voi, 0.1)
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestIntervalLabels:
+    def test_get_labels_cases(self):
+        # (ctss, pseudo_ratio) covering: normal intersection, band below
+        # interval, band above interval
+        ctss = jnp.asarray([3, 3, 0])
+        ps = jnp.asarray([0.10, 0.01, 0.50])
+        out = np.asarray(get_labels(ctss, ps, band_width=0.01))
+        # ctss 3 -> [0.05, 0.35]; band [0.09, 0.11] -> intersection
+        np.testing.assert_allclose(out[0], [0.09, 0.11], atol=1e-6)
+        # band [0.0, 0.02] below [0.05, 0.35] -> band
+        np.testing.assert_allclose(out[1], [0.0, 0.02], atol=1e-6)
+        # ctss 0 -> [0, 0.001]; band [0.49, 0.51] above -> interval
+        np.testing.assert_allclose(out[2], [0.0, 0.001], atol=1e-6)
+
+    def test_ratio_to_label(self):
+        assert ratio_to_label([0.0, 0.005, 0.02, 0.2, 0.4, 0.9]) == \
+            [0, 1, 2, 3, 4, 5]
+
+
+class TestRegLoss:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_split_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        B = 4
+        probs = rng.random((B, 8, 8, 8, 1)).astype(np.float32)
+        lobes = (rng.random((B, 8, 8, 8, 1)) > 0.3).astype(np.float32)
+        cands = ((rng.random((B, 8, 8, 8, 1)) > 0.8) * lobes).astype(np.float32)
+        ctss = rng.integers(0, 6, B)
+        freq = np.array([0.3, 0.25, 0.23, 0.2, 0.18, 0.15], np.float32)
+        got = float(compute_reg_loss_with_probs(
+            jnp.asarray(probs), jnp.asarray(lobes), jnp.asarray(cands),
+            jnp.asarray(ctss), 1e-2, jnp.asarray(freq)))
+        want = reg_loss_oracle(probs, lobes, cands, ctss, 1e-2, freq)
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_enc_loss(self):
+        p = jnp.asarray(np.array([0.5, 0.9, 0.1], np.float32))
+        got = float(compute_enc_loss(p))
+        pn = np.array([0.5, 0.9, 0.1])
+        want = np.mean(-pn * np.log(pn + 1e-7) + (pn - 1) * np.log(1 - pn + 1e-7))
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestPseudoLabels:
+    def test_threshold_logic(self, rng):
+        dense = rng.normal(size=(3, 6, 6, 6, 1)).astype(np.float32)
+        lobes = (rng.random((3, 6, 6, 6, 1)) > 0.3).astype(np.float32)
+        cands = (rng.random((3, 6, 6, 6, 1)) > 0.5).astype(np.float32)
+        ctss = np.array([0, 2, 5])
+        got = np.asarray(pseudo_labels(jnp.asarray(dense), jnp.asarray(lobes),
+                                       jnp.asarray(cands), jnp.asarray(ctss)))
+        probs = _sigmoid(dense)
+        probs = probs * (lobes > 0)  # zero outside lobe, like the reference
+        want = np.logical_and(probs > 0.5, cands > 0).astype(np.float32)
+        want[0] = 0.0  # ctss == 0 -> all zero
+        np.testing.assert_array_equal(got, want)
+
+
+class TestRefineLoss:
+    def test_end_to_end_composition(self, rng):
+        dense = rng.normal(size=(2, 6, 6, 6, 1)).astype(np.float32)
+        refined = rng.normal(size=(2, 6, 6, 6, 1)).astype(np.float32)
+        lobes = (rng.random((2, 6, 6, 6, 1)) > 0.3).astype(np.float32)
+        cands = (rng.random((2, 6, 6, 6, 1)) > 0.6).astype(np.float32)
+        ctss = np.array([1, 4])
+        freq = np.array([0.3, 0.25, 0.23, 0.2, 0.18, 0.15], np.float32)
+
+        loss = IntRegRefineLoss(band_width=1e-2, smoothing=0.1)
+        model_fn = lambda x, l: (jnp.asarray(dense), jnp.asarray(refined))
+        reg, seg = loss(model_fn, jnp.zeros_like(dense), jnp.asarray(lobes),
+                        jnp.asarray(cands), jnp.asarray(ctss),
+                        ctss_frequency=jnp.asarray(freq))
+        want_reg = reg_loss_oracle(_sigmoid(dense), lobes, cands, ctss, 1e-2, freq)
+        assert float(reg) == pytest.approx(want_reg, rel=1e-4)
+
+        pseudo = np.asarray(pseudo_labels(jnp.asarray(dense), jnp.asarray(lobes),
+                                          jnp.asarray(cands), jnp.asarray(ctss)))
+        want_seg = boot_bce_oracle(_sigmoid(refined), pseudo, lobes, 0.1)
+        assert float(seg) == pytest.approx(want_seg, rel=1e-4)
+
+    def test_jits(self, rng):
+        loss = IntRegRefineLoss()
+        dense = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 1)).astype(np.float32))
+        lobes = jnp.ones((1, 4, 4, 4, 1), jnp.float32)
+
+        @jax.jit
+        def f(d, l):
+            return loss(lambda x, m: (d, d), d, l, l,
+                        jnp.asarray([2]))
+        reg, seg = f(dense, lobes)
+        assert np.isfinite(float(reg)) and np.isfinite(float(seg))
+
+
+class TestEquivariance:
+    def test_smooth_l1_matches_torch(self, rng):
+        a = rng.normal(size=(64,)).astype(np.float32) * 2
+        b = rng.normal(size=(64,)).astype(np.float32)
+        got = float(smooth_l1_masked(jnp.asarray(a), jnp.asarray(b),
+                                     jnp.ones(64, bool)))
+        want = torch.nn.functional.smooth_l1_loss(
+            torch.from_numpy(a), torch.from_numpy(b)).item()
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_transform_is_consistent_and_invertible_family(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32))
+        T = OneShotTransform(jax.random.PRNGKey(7))
+        a = np.asarray(T(x))
+        b = np.asarray(T(x))
+        np.testing.assert_array_equal(a, b)  # same T both times
+        assert a.shape == x.shape
+        # volume-preserving family: values are a permutation of the input
+        np.testing.assert_allclose(np.sort(a.ravel()),
+                                   np.sort(np.asarray(x).ravel()), atol=0)
+
+    def test_aff_loss_zero_for_equivariant_model(self, rng):
+        """If the model is pointwise (dense = images), then T(probs(x)) ==
+        probs(T(x)) and the consistency loss must be 0."""
+        images = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32))
+        lobes = jnp.ones_like(images)
+        loss = IntRegAffLoss(band_width=1e-2)
+        model_fn = lambda x, l: (x, x)
+        ce, aff, enc = loss(model_fn, images, lobes,
+                            jnp.zeros_like(images), jnp.asarray([2, 3]),
+                            rng=jax.random.PRNGKey(3))
+        assert float(aff) == pytest.approx(0.0, abs=1e-6)
