@@ -93,6 +93,37 @@ def otsu_threshold_u8(values, mask=None):
     return jnp.clip(jnp.where(vmin >= vmax, vmin, th), 0.0, 255.0)
 
 
+def otsu_threshold_u8_np(values_u8):
+    """Host twin of `otsu_threshold_u8` on already-quantized uint8 data:
+    the exact skimage.threshold_otsu algorithm over the observed range."""
+    v = np.asarray(values_u8).astype(np.uint8).ravel()
+    vmin, vmax = int(v.min()), int(v.max())
+    if vmin == vmax:
+        return float(vmin)
+    centers = np.arange(vmin, vmax + 1, dtype=np.float64)
+    counts = np.bincount(v - vmin, minlength=vmax - vmin + 1).astype(np.float64)
+    w1 = np.cumsum(counts)
+    w2 = np.cumsum(counts[::-1])[::-1]
+    m1 = np.cumsum(counts * centers) / w1
+    m2 = (np.cumsum((counts * centers)[::-1]) / w2[::-1])[::-1]
+    var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+    return float(centers[:-1][np.argmax(var12)])
+
+
+def binary_cam_np(values, scaler=1.0, from_span=(0, 1)):
+    """Host twin of the reference binary_cam (utils.py:226-242): returns
+    (binary mask, threshold-in-[0,1])."""
+    values = np.asarray(values)
+    if values.size == 0:
+        raise ValueError("empty array encountered! values.size == 0.")
+    w = windowing_np(values, from_span=from_span, to_span=(0, 255)).astype(np.uint8)
+    uniq = np.unique(w)
+    if len(uniq) < 2:
+        return np.ones_like(w, bool), float(uniq[0]) / 255.0
+    th = min(otsu_threshold_u8_np(w) * scaler, 255.0)
+    return w >= th, th / 255.0
+
+
 def binary_cam_threshold(values01, mask=None, scaler=1.0, from_span=(0, 1)):
     """Threshold (in the [0,1] domain) of a CAM/probability volume.
 
