@@ -1,0 +1,109 @@
+"""Device mesh, sharding helpers and the halo-exchange primitive.
+
+The reference is single-process single-GPU (SURVEY.md §2.7 — no process
+groups, no collectives anywhere); this module is the TPU-native parallelism
+layer that replaces nothing and enables everything:
+
+* `best_mesh` — a ('data',) mesh over the available chips; the trainer
+  shards the chunk batch across it and XLA inserts the gradient psum and
+  global BatchNorm-stat reductions (ICI traffic, no hand-written NCCL).
+* `spatial_mesh` / `halo_exchange` — context-parallel building block for
+  whole-scan inference: shard the D axis of a volume across chips and
+  exchange stencil halos with ppermute so 3x3x3 convs and k^3 stencil
+  attention stay exact at shard boundaries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def best_mesh(axis_name="data", batch_size=None, devices=None):
+    """A 1-D mesh over the devices, or None when single-device.
+
+    When `batch_size` is given, uses the largest device count that divides
+    it (sharded batch axes must split evenly).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+    if n <= 1:
+        return None
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def shard_batch_arrays(mesh, arrays, axis_name="data"):
+    """device_put each array with its leading (batch) axis sharded."""
+    out = []
+    for a in arrays:
+        spec = P(axis_name) if np.ndim(a) >= 1 else P()
+        out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def replicate(mesh, tree):
+    """device_put a pytree fully replicated on the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def spatial_mesh(axis_name="space", devices=None):
+    """1-D mesh for spatial (context-parallel) sharding of volumes."""
+    return best_mesh(axis_name=axis_name, devices=devices)
+
+
+def halo_exchange(x, axis_name, halo, axis):
+    """Exchange `halo`-wide slabs with mesh neighbours along `axis`.
+
+    Must be called inside shard_map over `axis_name`; x is the local shard.
+    Returns the shard extended by `halo` on both sides — boundary shards
+    get zero padding (matching 'same' conv zero-padding at volume edges).
+    """
+    n = jax.lax.axis_size(axis_name)
+    size = x.shape[axis]
+    right_edge = jax.lax.slice_in_dim(x, size - halo, size, axis=axis)
+    left_edge = jax.lax.slice_in_dim(x, 0, halo, axis=axis)
+    if n > 1:
+        # shard i's right edge becomes shard i+1's left halo
+        left_halo = jax.lax.ppermute(right_edge, axis_name,
+                                     [(i, i + 1) for i in range(n - 1)])
+        right_halo = jax.lax.ppermute(left_edge, axis_name,
+                                      [(i + 1, i) for i in range(n - 1)])
+    else:
+        left_halo = jnp.zeros_like(right_edge)
+        right_halo = jnp.zeros_like(left_edge)
+    return jnp.concatenate([left_halo, x, right_halo], axis=axis)
+
+
+def sharded_stencil_apply(fn, volume, mesh, halo, axis=0,
+                          axis_name="space"):
+    """Apply a local stencil function to a volume sharded along `axis`.
+
+    `fn(block)` must be shift-invariant with receptive-field radius <= halo
+    and preserve the block's shape. The volume's `axis` must divide evenly
+    over the mesh. Returns the full-shape result, computed shard-wise with
+    halo exchange (context-parallel analog for conv/stencil-attention
+    inference on scans too big for one chip's HBM).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    ndim = volume.ndim
+    spec_elems = [None] * ndim
+    spec_elems[axis] = axis_name
+    spec = P(*spec_elems)
+
+    def local(block):
+        ext = halo_exchange(block, axis_name, halo, axis)
+        out = fn(ext)
+        return jax.lax.slice_in_dim(out, halo, halo + block.shape[axis],
+                                    axis=axis)
+
+    f = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return f(volume)

@@ -173,6 +173,20 @@ def itk_resample_to_spacing(x, in_spacing, out_spacing=None, out_size=None,
     return y, tuple(float(s) for s in out_spacing)
 
 
+def resize3d_np(x, out_size, method="trilinear"):
+    """Host twin of resize3d (align_corners semantics) for ragged host-side
+    back-resizes where per-shape device compiles would dominate."""
+    mode = {"trilinear": "linear_ac", "nearest": "nearest_torch"}[method]
+    y = np.asarray(x, np.float32)
+    axes = _spatial_axes(y.ndim)
+    for ax, o in zip(axes, out_size):
+        if y.shape[ax] == int(o):
+            continue
+        W, _ = _axis_weights(y.shape[ax], int(o), mode, None)
+        y = np.moveaxis(np.moveaxis(y, ax, -1) @ W.T, -1, ax)
+    return y
+
+
 # Host (NumPy) twin, used by the host data pipeline for ragged pre-chunks
 # and by tests as an oracle-free cross-check of the device path.
 def itk_resample3d_np(x, out_size, scales=None, method="linear", fill_value=0.0):

@@ -1,0 +1,538 @@
+"""Trainer: jitted train step, optax optimization, epoch orchestration.
+
+Rebuild of the reference JobRunner/LesionSegChunkTrain
+(reference job_runner.py:291-811) with a TPU-native execution model:
+
+* the whole optimizer step — forward (both heads), interval-regression +
+  refinement losses (incl. on-device pseudo-labels), backward, Adam update,
+  BatchNorm stat update — is ONE jitted XLA program with donated buffers;
+* data loading/augmentation runs on host threads, overlapping device compute
+  (the reference ran its SimpleITK pipeline serially on the main process);
+* the loss calls the model through a `model_fn` closure, preserving the
+  reference contract where the loss drives the forward pass
+  (job_runner.py:664-667);
+* the ExponentialLR scheduler steps per validation epoch exactly like the
+  reference (job_runner.py:706) via optax.inject_hyperparams;
+* checkpoints every STATE_EPOCHS with tolerant resume from the newest file.
+
+Data-parallel scaling: when JAX sees multiple devices, the train step is
+sharded over a ('data',) mesh — the batch is split across chips and XLA
+inserts the gradient/batch-stat collectives (see core/mesh.py).
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import logging.config
+import os
+import sys
+import time
+from enum import Enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..core.mesh import best_mesh, shard_batch_arrays
+from ..core.resample import resize3d_np
+from ..data.datasets import RadboudCOVID, RadboudCOVIDLobeVesselChunk
+from ..data.pipeline import DataLoader
+from ..data.sampler import LobeChunkCTSSSampler
+from ..data import transforms as T
+from ..core.ops import find_crops_np
+from ..losses.interval_reg import ratio_to_label
+from ..utils import (AverageMeter, Settings, get_callable_by_name,
+                     get_value_recursively)
+from ..viz import SummaryWriter, plot_confusion_matrix_from_data
+from .checkpoint import (load_checkpoint, newest_checkpoint, save_checkpoint,
+                         tolerant_merge)
+
+
+class MODEL_STATUS(Enum):
+    UN_INIT = 0
+    RANDOM_INITIALIZED = 1
+    RELOAD_PRETRAINED = 2
+    TRAINING = 3
+
+
+# --- registry targets for reference-style OPTIMIZER/SCHEDULER configs ------
+
+def adam(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, **kw):
+    tx = optax.inject_hyperparams(optax.adamw if weight_decay else optax.adam)
+    if weight_decay:
+        return tx(learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps,
+                  weight_decay=weight_decay), lr
+    return tx(learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps), lr
+
+
+def sgd(lr=1e-4, momentum=0.0, **kw):
+    return optax.inject_hyperparams(optax.sgd)(
+        learning_rate=lr, momentum=momentum or None), lr
+
+
+class ExponentialLR:
+    """Per-validation-epoch exponential decay (reference SCHEDULER)."""
+
+    def __init__(self, base_lr, gamma=0.9):
+        self.base_lr = base_lr
+        self.gamma = gamma
+        self.steps = 0
+
+    def step(self):
+        self.steps += 1
+
+    @property
+    def lr(self):
+        return self.base_lr * (self.gamma ** self.steps)
+
+    def state_dict(self):
+        return {"steps": self.steps, "base_lr": self.base_lr,
+                "gamma": self.gamma}
+
+    def load_state_dict(self, d):
+        self.steps = int(d.get("steps", 0))
+        self.base_lr = float(d.get("base_lr", self.base_lr))
+
+
+def exponential_lr(gamma=0.9, **kw):
+    return ("exponential", gamma)
+
+
+def fix_random_seeds(seed):
+    np.random.seed(seed)
+    import random
+    random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+class JobRunner:
+    """Shared runner scaffolding: config, logging, dirs, init, checkpoints."""
+
+    def __init__(self, setting_module_file_path=None, settings_module=None,
+                 **kwargs):
+        if settings_module is not None:
+            self.settings = settings_module
+        else:
+            self.settings = Settings(setting_module_file_path)
+        self.model_status = MODEL_STATUS.UN_INIT
+
+        for fn in get_value_recursively(getattr(self.settings, "LOGGING", {}),
+                                        "filename"):
+            os.makedirs(os.path.dirname(fn), exist_ok=True)
+        if getattr(self.settings, "LOGGING", None):
+            logging.config.dictConfig(self.settings.LOGGING)
+        else:
+            logging.basicConfig(
+                level=logging.INFO,
+                format="%(asctime)s [%(levelname)s] %(name)s: %(message)s")
+        self.logger = logging.getLogger(self.settings.EXP_NAME)
+
+        self.exp_path = os.path.join(self.settings.MODEL_ROOT_PATH,
+                                     self.settings.EXP_NAME) + "/"
+        self.debug_path = os.path.join(self.settings.DEBUG_PATH,
+                                       self.settings.EXP_NAME) + "/"
+        os.makedirs(self.exp_path, exist_ok=True)
+        os.makedirs(self.debug_path, exist_ok=True)
+        self.summary_writer = SummaryWriter(
+            log_dir=os.path.join(self.exp_path, "summary"))
+
+        def runner_excepthook(exc_type, exc_value, tb):
+            self.logger.error("Logging an uncaught exception",
+                              exc_info=(exc_type, exc_value, tb))
+
+        sys.excepthook = runner_excepthook
+        self.model_metrics_save_dict = {}
+
+        with open(self.exp_path + "/settings.txt", "wt", newline="") as fp:
+            fp.write(str(self.settings))
+
+    # ------------------------------------------------------------------
+    def init(self):
+        s = self.settings
+        self.rng = fix_random_seeds(getattr(s, "RANDOM_SEED", 33))
+
+        model_cfg = dict(s.MODEL)
+        model_cls = get_callable_by_name(model_cfg.pop("method"))
+        self.compute_dtype = jnp.bfloat16 \
+            if getattr(s, "COMPUTE_DTYPE", "float32") == "bfloat16" \
+            else jnp.float32
+        self.model = model_cls(**model_cfg, train=True,
+                               dtype=self.compute_dtype)
+        self.model_eval = model_cls(**model_cfg, train=False,
+                                    dtype=self.compute_dtype)
+
+        init_cfg = dict(getattr(s, "INITIALIZER", {"method": "models.HeNorm"}))
+        init_cls = get_callable_by_name(init_cfg.pop("method"))
+        self.parameter_initializer = init_cls(**init_cfg)  # baked into modules
+
+        chunk = tuple(s.RESAMPLE_SIZE)
+        dummy = jnp.zeros((1, *chunk, 1), jnp.float32)
+        self.rng, init_rng = jax.random.split(self.rng)
+        variables = jax.jit(self.model.init)(init_rng, dummy)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        opt_cfg = dict(s.OPTIMIZER)
+        opt_cls = get_callable_by_name(opt_cfg.pop("method"))
+        self.tx, base_lr = opt_cls(**opt_cfg)
+        self.opt_state = self.tx.init(self.params)
+
+        sched_cfg = dict(getattr(s, "SCHEDULER",
+                                 {"method": "torch.optim.lr_scheduler.ExponentialLR",
+                                  "gamma": 0.9}))
+        get_callable_by_name(sched_cfg.pop("method"))  # validates the name
+        self.scheduler = ExponentialLR(base_lr, **sched_cfg)
+
+        loss_cfg = dict(s.LOSS_FUNC)
+        loss_cls = get_callable_by_name(loss_cfg.pop("method"))
+        self.loss_func = loss_cls(**loss_cfg)
+
+        self.mesh = best_mesh(batch_size=getattr(s, "TRAIN_BATCH_SIZE", None))
+        if self.mesh is not None:
+            self.logger.info(f"training mesh: {self.mesh}")
+
+        self.model_status = MODEL_STATUS.RANDOM_INITIALIZED
+        self.current_iteration = 0
+        self.epoch_n = 0
+        self._build_train_step()
+        self.logger.info("init finished (dtype=%s, devices=%d)",
+                         self.compute_dtype.__name__, jax.device_count())
+
+    def _set_lr(self, lr):
+        """Write the scheduler lr into the injected optax hyperparams."""
+        try:
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        except Exception:
+            pass
+
+    def _build_train_step(self):
+        factors = [float(f) for f in self.settings.LOSS_FACTORS]
+        model = self.model
+        loss_func = self.loss_func
+        tx = self.tx
+
+        def train_step(params, batch_stats, opt_state, images, lobes,
+                       lesions, ctss, freq, rng):
+            def loss_fn(p):
+                carry = {"bs": batch_stats}
+
+                def model_fn(im, lo):
+                    out, mut = model.apply(
+                        {"params": p, "batch_stats": carry["bs"]},
+                        im, lo, mutable=["batch_stats"],
+                        rngs={"dropout": rng})
+                    carry["bs"] = mut["batch_stats"]
+                    return out
+
+                losses = loss_func(model_fn, images, lobes, lesions, ctss,
+                                   ctss_frequency=freq, rng=rng)
+                total = sum(l * f for l, f in zip(losses, factors))
+                return total, (jnp.stack(losses), carry["bs"])
+
+            (loss, (losses, new_bs)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt_state, loss, losses
+
+        donate = (0, 1, 2)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_sharding = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            in_shardings = (repl, repl, repl, batch_sharding, batch_sharding,
+                            batch_sharding, batch_sharding, repl, repl)
+            self.train_step = jax.jit(train_step, donate_argnums=donate,
+                                      in_shardings=in_shardings)
+        else:
+            self.train_step = jax.jit(train_step, donate_argnums=donate)
+
+    # ------------------------------------------------------------------
+    def model_state_tree(self):
+        return {"params": serialization.to_state_dict(self.params),
+                "batch_stats": serialization.to_state_dict(self.batch_stats)}
+
+    def update_model_state(self, **kwargs):
+        state = {
+            "epoch": self.epoch_n,
+            "iteration": self.current_iteration,
+            "model": self.model_state_tree(),
+            "optimizer": serialization.to_state_dict(self.opt_state),
+            "scheduler": self.scheduler.state_dict(),
+            "metrics": dict(self.model_metrics_save_dict),
+        }
+        state.update(kwargs)
+        return state
+
+    def save_model(self, **kwargs):
+        state = self.update_model_state(**kwargs)
+        path = os.path.join(self.exp_path, f"{self.epoch_n}.ckpt")
+        save_checkpoint(path, state)
+        self.logger.info(f"saved model into {path}.")
+
+    def reload_model_from_cache(self):
+        s = self.settings
+        if not getattr(s, "RELOAD_CHECKPOINT", False):
+            self.epoch_n = 0
+            self.current_iteration = 0
+            return
+        cpk_path = getattr(s, "RELOAD_CHECKPOINT_PATH", None)
+        if cpk_path is None:
+            cpk_path = newest_checkpoint(self.exp_path)
+            if cpk_path is None:
+                raise RuntimeError(f"{self.exp_path} has no checkpoint files.")
+        self.logger.info(f"reloading model from {cpk_path}.")
+        saved = load_checkpoint(cpk_path)
+
+        reload_keys = getattr(s, "RELOAD_DICT_LIST", ["model"])
+        if "model" in reload_keys and "model" in saved:
+            merged = tolerant_merge(self.model_state_tree(), saved["model"],
+                                    log=self.logger.info)
+            self.params = serialization.from_state_dict(self.params,
+                                                        merged["params"])
+            self.batch_stats = serialization.from_state_dict(
+                self.batch_stats, merged["batch_stats"])
+            self.logger.info("=> loaded model")
+        if "optimizer" in reload_keys and "optimizer" in saved:
+            try:
+                self.opt_state = serialization.from_state_dict(
+                    self.opt_state, saved["optimizer"])
+                self.logger.info("=> loaded optimizer")
+            except Exception as e:
+                self.logger.warning(f"optimizer reload failed ({e}); fresh state")
+        if "metrics" in reload_keys and "metrics" in saved:
+            self.model_metrics_save_dict.update(saved["metrics"])
+        if "scheduler" in saved:
+            self.scheduler.load_state_dict(saved["scheduler"])
+        self.epoch_n = int(saved.get("epoch", 0))
+        self.current_iteration = int(saved.get("iteration", 0))
+        self.model_status = MODEL_STATUS.RELOAD_PRETRAINED
+
+    def run(self):
+        raise NotImplementedError
+
+    def run_job(self):
+        try:
+            self.run()
+        except Exception:
+            self.logger.exception("training encountered exception.")
+
+
+class LesionSegChunkTrain(JobRunner):
+    """Chunk training runner (reference LesionSegChunkTrain,
+    job_runner.py:500-811)."""
+
+    def __init__(self, settings_module=None, setting_module_file_path=None,
+                 **kwargs):
+        super().__init__(setting_module_file_path, settings_module)
+        self.init()
+        self.reload_model_from_cache()
+        self.trace = False
+        self.reset_data()
+        self.logger.info(
+            f"batchsize:{self.settings.TRAIN_BATCH_SIZE}, "
+            f"input_resize:{self.settings.RESAMPLE_SIZE}")
+        self._load_records()
+
+    def _load_records(self):
+        import pandas as pd
+        rec = self.exp_path + "/records.csv"
+        self.train_records = pd.read_csv(rec) if os.path.exists(rec) \
+            else pd.DataFrame(columns=["epoch"])
+
+    # -- data ----------------------------------------------------------
+    def preprocessing(self):
+        s = self.settings
+        return [T.Windowing(min=s.WINDOWING_MIN, max=s.WINDOWING_MAX),
+                T.Resample(mode=s.RESAMPLE_MODE, factor=s.RESAMPLE_SPACING,
+                           size=s.RESAMPLE_SIZE)]
+
+    def val_preprocessing(self):
+        s = self.settings
+        return [T.Resample(mode="fixed_spacing", factor=s.RESAMPLE_SPACING,
+                           size=s.RESAMPLE_SIZE)]
+
+    def post_preprocessing(self):
+        return [T.RemoveMeta()]
+
+    def get_data_transforms(self, is_train):
+        if is_train:
+            aug = T.ensemble_augmentation(getattr(self.settings, "AUG_RATIO", 0))
+            return T.Compose(self.preprocessing() + [aug] +
+                             self.post_preprocessing())
+        return T.Compose(self.val_preprocessing())
+
+    def reset_data(self):
+        s = self.settings
+        tr_uids = RadboudCOVIDLobeVesselChunk.get_series_uids(
+            os.path.join(s.DB_PATH, "wss_chunk", "memo.csv"))
+        tr_dataset = RadboudCOVIDLobeVesselChunk(
+            s.DB_PATH, tr_uids, transforms=self.get_data_transforms(True))
+        sampler = LobeChunkCTSSSampler(
+            self.logger, tr_dataset, s.TRAIN_BATCH_SIZE,
+            balance_label_count=s.BALANCED_LABEL_COUNT)
+        self.ctss_frequency_map = sampler.ctss_frequency_map
+        self.ctss_frequency_array = sampler.frequency_array()
+        self.class_weights = sampler.class_weights
+        self.tr_loader = DataLoader(
+            tr_dataset, sampler, batch_size=s.TRAIN_BATCH_SIZE,
+            drop_last=True, num_workers=getattr(s, "NUM_WORKERS", 4) or 0)
+        self.num_steps = len(self.tr_loader)
+
+        self.val_dataset = RadboudCOVID(
+            s.DB_PATH, RadboudCOVID.get_series_uids(s.VALID_CSV),
+            transforms=self.get_data_transforms(False), keep_sorted=True)
+
+    # -- train ---------------------------------------------------------
+    def _device_batch(self, batch):
+        images = batch["#image"][..., None].astype(np.float32)
+        lobes = batch["#lobe_reference"][..., None].astype(np.float32)
+        lesions = batch["#pseudo_lesion_reference"][..., None].astype(np.float32)
+        meta = batch["meta"]
+        key = "ctss" if "ctss" in meta else "cle"
+        ctss = np.asarray([int(float(c)) for c in meta[key]], np.int32)
+        arrays = (images, lobes, lesions, ctss)
+        if self.mesh is not None:
+            return shard_batch_arrays(self.mesh, arrays)
+        return tuple(jnp.asarray(a) for a in arrays)
+
+    def train(self):
+        batch_time, data_time, loss_record = \
+            AverageMeter(), AverageMeter(), AverageMeter()
+        freq = jnp.asarray(self.ctss_frequency_array)
+        end = time.time()
+        for step_idx, batch in enumerate(self.tr_loader):
+            data_time.update(time.time() - end)
+            images, lobes, lesions, ctss = self._device_batch(batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self._set_lr(self.scheduler.lr)
+            (self.params, self.batch_stats, self.opt_state, loss, losses) = \
+                self.train_step(self.params, self.batch_stats, self.opt_state,
+                                images, lobes, lesions, ctss, freq, step_rng)
+            self.current_iteration += 1
+            loss_v = float(loss)
+            loss_record.update(loss_v, images.shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if self.current_iteration % self.settings.LOG_STEPS == 0:
+                lv = [f"{float(l):.5f}" for l in losses]
+                self.logger.info(
+                    f"Epoch: [{self.epoch_n}][{step_idx}], "
+                    f"Time {batch_time.val:.3f} ({data_time.avg:.3f}) "
+                    f"Loss {loss_record.val:.6f} ({loss_record.avg:.6f}), "
+                    f"losses: {lv}")
+        self.model_status = MODEL_STATUS.TRAINING
+        return {"tr_loss": loss_record.avg, "tr_data_time": data_time.avg,
+                "tr_batch_time": batch_time.avg}
+
+    # -- validation ----------------------------------------------------
+    def _eval_forward(self):
+        if not hasattr(self, "_eval_fwd"):
+            model_eval = self.model_eval
+
+            @jax.jit
+            def fwd(params, batch_stats, image, lobe):
+                dense, refined = model_eval.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    image, lobe)
+                return jax.nn.sigmoid(refined)
+
+            self._eval_fwd = fwd
+        return self._eval_fwd
+
+    def evaluate_scan(self, scan_data):
+        s = self.settings
+        scan = scan_data["#image"]
+        lobe = scan_data["#lobe_reference"]
+        meta = scan_data["meta"]
+        now = time.time()
+        fwd = self._eval_forward()
+        pre = T.Compose(self.preprocessing())
+        htp = np.zeros(scan.shape, np.float32)
+        for lobe_label in np.unique(lobe)[1:]:
+            lobe_binary = lobe == lobe_label
+            crop = find_crops_np(lobe_binary, meta["spacing"], 5)
+            lobe_chunk = lobe_binary[crop]
+            scan_chunk = scan[crop].copy()
+            crop_size = lobe_chunk.shape
+            scan_chunk[lobe_chunk == 0] = s.PAD_VALUE
+            ret = pre({"#image": scan_chunk.astype(np.int16),
+                       "#lobe_reference": lobe_chunk.astype(np.uint8),
+                       "meta": {"size": scan_chunk.shape,
+                                "spacing": meta["spacing"]}})
+            probs = fwd(self.params, self.batch_stats,
+                        jnp.asarray(ret["#image"][None, ..., None],
+                                    jnp.float32),
+                        jnp.asarray(ret["#lobe_reference"][None, ..., None],
+                                    jnp.float32))
+            probs = np.asarray(probs)[0, ..., 0]
+            probs = resize3d_np(probs, crop_size, "trilinear")
+            mask = lobe_chunk > 0
+            htp[crop][mask] = probs[mask]
+        lung = lobe > 0
+        pred_ratio = float((htp * lung).sum() / max(lung.sum(), 1))
+        reg_cls_pred = ratio_to_label([pred_ratio])[0]
+        target = int(float(meta["cle"])) if "cle" in meta else \
+            int(float(meta["patient_meta"]["cle"]))
+        self.logger.info(f"val scan {meta['uid']}: reg_cls_pred {reg_cls_pred},"
+                         f" target {target}")
+        return reg_cls_pred, target, time.time() - now
+
+    def validate(self):
+        self.logger.info(f"validating {len(self.val_dataset)} scans at epoch "
+                         f"{self.epoch_n}")
+        val_time = AverageMeter()
+        preds, targets = [], []
+        for i in range(len(self.val_dataset)):
+            p, t, dt = self.evaluate_scan(self.val_dataset[i])
+            preds.append(p)
+            targets.append(t)
+            val_time.update(dt, 1)
+        epoch_debug = os.path.join(self.debug_path, str(self.epoch_n)) + "/"
+        os.makedirs(epoch_debug, exist_ok=True)
+        acc = float(np.mean(np.asarray(preds) == np.asarray(targets)))
+        try:
+            plot_confusion_matrix_from_data(
+                targets, preds, labels=list(range(6)),
+                save_path=epoch_debug + "cm_reg_cls")
+        except Exception as e:
+            self.logger.warning(f"confusion-matrix plot failed: {e}")
+        v = {"val_time": val_time.avg, "val_acc_reg_cls": acc}
+        self.logger.info(f"val_metrics: {v}")
+        return v
+
+    # -- epochs ----------------------------------------------------------
+    def run(self):
+        s = self.settings
+        self.logger.info(f"running epochs {self.epoch_n}..{s.NUM_EPOCHS}")
+        import pandas as pd
+        for epoch_n in range(self.epoch_n, s.NUM_EPOCHS):
+            self.epoch_n = epoch_n
+            self.reset_data()
+            tr_metrics = self.train()
+            if (epoch_n % s.VAL_EPOCHS == 0 or epoch_n == s.NUM_EPOCHS - 1
+                    or epoch_n < 15):
+                val_metrics = self.validate()
+                if val_metrics:
+                    self.model_metrics_save_dict.update(val_metrics)
+                    self.model_metrics_save_dict.update(tr_metrics)
+                    self.summary_writer.add_scalars("val_metrics", val_metrics,
+                                                    global_step=epoch_n)
+                    self.summary_writer.add_scalars("tr_metrics", tr_metrics,
+                                                    global_step=epoch_n)
+                    row = {"epoch": epoch_n,
+                           "iteration": self.current_iteration,
+                           "learning_rate": self.scheduler.lr}
+                    row.update(self.model_metrics_save_dict)
+                    self.train_records = pd.concat(
+                        [self.train_records, pd.DataFrame([row])],
+                        ignore_index=True)
+                    self.train_records.to_csv(self.exp_path + "/records.csv",
+                                              index=False)
+                self.scheduler.step()
+            if epoch_n % s.STATE_EPOCHS == 0 or epoch_n == s.NUM_EPOCHS - 1:
+                self.save_model()
+        self.logger.info(f"Training stops at epoch {self.epoch_n}.")

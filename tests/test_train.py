@@ -1,0 +1,137 @@
+"""End-to-end trainer tests on a synthetic dataset (CPU, tiny model)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from dram_tpu.data.prepare_data import make_synthetic_dataset
+from dram_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                       tolerant_merge)
+from dram_tpu.utils import Settings, get_callable_by_name
+
+
+TINY_SETTINGS = textwrap.dedent("""
+    DB_PATH = {db!r}
+    VALID_CSV = {db!r} + "/val.csv"
+    TEST_CSV = {db!r} + "/test.csv"
+    DEBUG_PATH = {out!r} + "/debug/"
+    MODEL_ROOT_PATH = {out!r} + "/models/"
+    JOB_RUNNER_CLS = "job_runner.LesionSegChunkTrain"
+    EXP_NAME = "tiny"
+    MODEL_NAME = "DC3D"
+    RESAMPLE_MODE = "fixed_size"
+    NUM_EPOCHS = 2
+    VAL_EPOCHS = 1
+    STATE_EPOCHS = 1
+    NUM_WORKERS = 0
+    LOG_STEPS = 100
+    AUG_RATIO = 0.0
+    BALANCED_LABEL_COUNT = 2
+    TRAIN_BATCH_SIZE = 2
+    RESAMPLE_SPACING = 1.0
+    TEST_RESAMPLE_SPACING = 2.0
+    RESAMPLE_SIZE = (16, 16, 16)
+    LOSS_FACTORS = [2.0, 1.0]
+    PAD_VALUE = -2048
+    WINDOWING_MAX = -300
+    WINDOWING_MIN = -1000
+    NR_CLASS = 1
+    COMPUTE_DTYPE = "float32"
+    RELOAD_CHECKPOINT = {reload}
+    RELOAD_CHECKPOINT_PATH = None
+    RELOAD_DICT_LIST = ["model", "optimizer"]
+    MODEL = {{
+        "method": "models.DC3D",
+        "n_layers": 2,
+        "in_ch_list": [1, 8, 16, 48, 24],
+        "base_ch_list": [4, 8, 16, 16, 8],
+        "end_ch_list": [8, 16, 32, 16, 8],
+        "kernel_sizes": [(3, 3)] * 5,
+        "stacking": 2,
+        "padding_list": [(1, 1)] * 5,
+        "checkpoint_layers": [0, 1, 1, 0, 0],
+        "dropout": 0.0,
+        "out_ch": 1,
+    }}
+    INITIALIZER = {{"method": "models.HeNorm", "mode": "fan_in"}}
+    OPTIMIZER = {{"method": "torch.optim.Adam", "lr": 0.001}}
+    SCHEDULER = {{"method": "torch.optim.lr_scheduler.ExponentialLR",
+                  "gamma": 0.9}}
+    LOSS_FUNC = {{"method": "metrics.IntRegRefineLoss",
+                  "band_width": 1e-2, "smoothing": 0.1}}
+""")
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("db"))
+    out = str(tmp_path_factory.mktemp("out"))
+    make_synthetic_dataset(db, n_scans=3, size=(24, 32, 32), seed=0)
+    return db, out
+
+
+def _settings(tmp_path, db, out, reload=False):
+    p = tmp_path / "settings_tiny.py"
+    p.write_text(TINY_SETTINGS.format(db=db, out=out, reload=reload))
+    return Settings(str(p))
+
+
+class TestTrainerEndToEnd:
+    def test_two_epochs(self, env, tmp_path):
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        runner_cls = get_callable_by_name(settings.JOB_RUNNER_CLS)
+        runner = runner_cls(settings_module=settings)
+        runner.run()
+
+        exp = os.path.join(out, "models", "tiny")
+        assert os.path.exists(os.path.join(exp, "records.csv"))
+        assert os.path.exists(os.path.join(exp, "settings.txt"))
+        assert os.path.exists(os.path.join(exp, "1.ckpt"))
+        import pandas as pd
+        rec = pd.read_csv(os.path.join(exp, "records.csv"))
+        assert "val_acc_reg_cls" in rec.columns
+        assert np.isfinite(rec["tr_loss"]).all()
+        # scheduler stepped once per validated epoch
+        assert runner.scheduler.steps == 2
+
+    def test_resume_from_checkpoint(self, env, tmp_path):
+        db, out = env
+        settings = _settings(tmp_path, db, out, reload=True)
+        settings.NUM_EPOCHS = 3  # continue one more epoch
+        runner_cls = get_callable_by_name(settings.JOB_RUNNER_CLS)
+        runner = runner_cls(settings_module=settings)
+        assert runner.epoch_n == 1  # restored from newest ckpt
+        assert runner.current_iteration > 0
+        runner.run()
+        exp = os.path.join(out, "models", "tiny")
+        assert os.path.exists(os.path.join(exp, "2.ckpt"))
+
+
+class TestTolerantMerge:
+    def test_shape_mismatch_dropped(self):
+        cur = {"a": np.zeros((2, 2)), "b": {"c": np.ones(3), "d": np.ones(1)}}
+        saved = {"a": np.ones((2, 2)), "b": {"c": np.zeros(4)}, "extra": 1}
+        logs = []
+        out = tolerant_merge(cur, saved, log=logs.append)
+        np.testing.assert_array_equal(out["a"], np.ones((2, 2)))
+        np.testing.assert_array_equal(out["b"]["c"], np.ones(3))  # kept
+        np.testing.assert_array_equal(out["b"]["d"], np.ones(1))
+        assert "extra" not in out
+        assert any("does not match" in l for l in logs)
+
+    def test_ignored_keys(self):
+        cur = {"a": np.zeros(2)}
+        saved = {"a": np.ones(2)}
+        out = tolerant_merge(cur, saved, ignored_keys=("a",))
+        np.testing.assert_array_equal(out["a"], np.zeros(2))
+
+    def test_roundtrip_file(self, tmp_path):
+        tree = {"epoch": 3, "model": {"w": np.arange(6).reshape(2, 3)}}
+        p = str(tmp_path / "x.ckpt")
+        save_checkpoint(p, tree)
+        got = load_checkpoint(p)
+        assert got["epoch"] == 3
+        np.testing.assert_array_equal(got["model"]["w"], tree["model"]["w"])
