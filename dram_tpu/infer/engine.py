@@ -1,0 +1,324 @@
+"""Full-scan inference engine: per-lobe chunking, stitching, Otsu, post rules.
+
+Rebuild of the reference LesionSegTest (reference job_runner.py:814-1068):
+for each scan (resampled to the test spacing), each lobe is cropped with a
+5 mm border, masked to -2048 outside, windowed+resized to the model chunk
+size, forwarded, and the refined activation map is ReLU'd, max-normalised,
+resized back and stitched into the full-scan heatmap under the lobe mask;
+the heatmap is Otsu-thresholded within the lung, post-filtered by the
+intensity-Otsu(0.75x) rule and the vessel exclusion, resampled back to the
+original grid, scored (IOU/Dice ± post, per-lobe ordinal accuracy) and
+archived (.mha outputs + heatmap screenshots + records.csv). Inference is
+restartable: scans whose outputs exist are skipped, and per-scan errors are
+isolated (job_runner.py:922-934, :1054-1059).
+
+Deviation (documented): the reference derives the per-lobe ordinal class by
+argmax over the masked-pooled channel axis (job_runner.py:986-988), which
+degenerates for the shipped out_ch=1 models (the argmax of a length-1
+vector is always 0, zeroing every heatmap). Here the class comes from the
+predicted lesion ratio via the interval table — exactly how the reference's
+own validation computes it (job_runner.py:772-773, metrics.py:109-115).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ops import binary_cam_np, find_crops_np, windowing_np
+from ..core.resample import resize3d_np
+from ..data import transforms as T
+from ..data.datasets import RadboudCOVID, TestDataset
+from ..data.io import write_array_to_mha_itk
+from ..losses.interval_reg import ratio_to_label
+from ..utils import AverageMeter
+from ..viz import draw_mask_tile_singleview_heatmap, plot_confusion_matrix_from_data
+from .. import viz
+from ..core import ops as core_ops
+
+
+def _np_metrics(pred, target, smooth=1e-5):
+    inter = np.logical_and(pred, target).sum()
+    union = np.logical_or(pred, target).sum()
+    iou = (inter + smooth) / (union + smooth)
+    dice = (2.0 * inter + smooth) / (pred.sum() + target.sum() + smooth)
+    return float(iou), float(dice)
+
+
+class LesionSegTest:
+    """Restartable batch inference runner."""
+
+    def __init__(self, settings_module=None, scan_path=None, lobe_path=None,
+                 output_path=None, task_name="test"):
+        from ..train.trainer import JobRunner
+
+        # reuse the runner scaffolding (logging/dirs/init/reload)
+        self._runner = JobRunner(settings_module=settings_module)
+        self.settings = self._runner.settings
+        self.logger = self._runner.logger
+        self.exp_path = self._runner.exp_path
+        self.scan_path = scan_path
+        self.output_path = output_path
+        self.task_name = task_name
+
+        s = self.settings
+        resample_t = T.Compose([
+            T.Resample(mode="fixed_spacing", factor=s.TEST_RESAMPLE_SPACING,
+                       size=s.RESAMPLE_SIZE)])
+        if scan_path is not None:
+            self.test_set = TestDataset(scan_path, lobe_path,
+                                        transforms=resample_t)
+            self.has_references = False
+        else:
+            self.test_set = RadboudCOVID(
+                s.DB_PATH, RadboudCOVID.get_series_uids(s.TEST_CSV),
+                task=task_name if os.path.isdir(
+                    os.path.join(s.DB_PATH, task_name)) else "wss",
+                keep_sorted=True, transforms=resample_t)
+            self.has_references = True
+
+        self.settings.RELOAD_CHECKPOINT = True
+        self._runner.init()
+        self._runner.reload_model_from_cache()
+        self.model_eval = self._runner.model_eval
+        self.params = self._runner.params
+        self.batch_stats = self._runner.batch_stats
+        self.saved_model_states = {
+            "epoch": self._runner.epoch_n,
+            "iteration": self._runner.current_iteration,
+            "metrics": dict(self._runner.model_metrics_save_dict)}
+        self._fwd = None
+
+    # ------------------------------------------------------------------
+    def preprocessing(self):
+        s = self.settings
+        return [T.Windowing(min=s.WINDOWING_MIN, max=s.WINDOWING_MAX),
+                T.Resample(mode=s.RESAMPLE_MODE, factor=s.RESAMPLE_SPACING,
+                           size=s.RESAMPLE_SIZE)]
+
+    def _forward(self):
+        if self._fwd is None:
+            model_eval = self.model_eval
+
+            @jax.jit
+            def fwd(params, batch_stats, image, lobe):
+                dense, refined = model_eval.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    image, lobe)
+                return dense, refined
+
+            self._fwd = fwd
+        return self._fwd
+
+    def infer_lobe_chunk(self, scan_chunk, lobe_chunk, spacing):
+        """chunk (cropped, masked, native grid) -> (relu-normed CAM at chunk
+        grid, predicted ordinal class)."""
+        pre = T.Compose(self.preprocessing())
+        ret = pre({"#image": scan_chunk.astype(np.int16),
+                   "#lobe_reference": lobe_chunk.astype(np.uint8),
+                   "meta": {"size": scan_chunk.shape, "spacing": spacing}})
+        image = jnp.asarray(ret["#image"][None, ..., None], jnp.float32)
+        lobe = jnp.asarray(ret["#lobe_reference"][None, ..., None],
+                           jnp.float32)
+        dense, refined = self._forward()(self.params, self.batch_stats,
+                                         image, lobe)
+        out = np.asarray(refined, np.float32)[0, ..., 0]
+        lobe80 = np.asarray(ret["#lobe_reference"]) > 0
+        probs = 1.0 / (1.0 + np.exp(-out))
+        pred_ratio = float(probs[lobe80].mean()) if lobe80.any() else 0.0
+        cls_pred = ratio_to_label([pred_ratio])[0]
+
+        cam = np.maximum(out, 0.0)
+        cam = resize3d_np(cam, scan_chunk.shape, "trilinear")
+        cam = np.maximum(cam, 0.0)
+        m = cam.max()
+        if m > 0:
+            cam = cam / m
+        if cls_pred < 1e-7:
+            cam[:] = 0.0
+        return cam, cls_pred
+
+    def process_scan(self, scan_data):
+        """One scan -> dict of outputs at the test grid (pre-resample-back)."""
+        s = self.settings
+        scan = scan_data["#image"]
+        lobe = scan_data["#lobe_reference"]
+        meta = scan_data["meta"]
+        crop_border = getattr(self.test_set, "crop_border", 5)
+        htp = np.zeros(scan.shape, np.float32)
+        cls_preds, cls_targets = [], []
+        for lobe_label in range(1, 6):
+            lobe_binary = lobe == lobe_label
+            target = None
+            if self.has_references and "patient_meta" in meta:
+                col = RadboudCOVID.metric_k_mapping[lobe_label]
+                target = int(float(meta["patient_meta"].get(col, 0)))
+            if lobe_binary.sum() < 1:
+                if target is not None:
+                    cls_preds.append(target)
+                    cls_targets.append(target)
+                continue
+            crop = find_crops_np(lobe_binary, meta["spacing"], crop_border)
+            lobe_chunk = lobe_binary[crop]
+            scan_chunk = scan[crop].copy()
+            scan_chunk[lobe_chunk == 0] = s.PAD_VALUE
+            cam, cls_pred = self.infer_lobe_chunk(scan_chunk, lobe_chunk,
+                                                  meta["spacing"])
+            cls_preds.append(cls_pred)
+            if target is not None:
+                cls_targets.append(target)
+            mask = lobe_chunk > 0
+            htp[crop][mask] = cam[mask]
+
+        lung = lobe > 0
+        _, th = binary_cam_np(htp[lung])
+        lesion_pred = htp > th
+        w_scan = windowing_np(scan, to_span=(0, 1))
+        _, th_i = binary_cam_np(w_scan[lung], 0.75)
+        vessel = scan_data.get("#vessel_reference",
+                               np.zeros_like(lobe))
+        lesion_pred_post = np.logical_and(
+            np.logical_and(lesion_pred, w_scan > th_i),
+            np.logical_not(vessel > 0)).astype(np.uint8)
+        return {"heatmap": htp, "pred": lesion_pred.astype(np.uint8),
+                "post": lesion_pred_post, "cls_preds": cls_preds,
+                "cls_targets": cls_targets}
+
+    # ------------------------------------------------------------------
+    def archive_results(self, scan, heatmap, pred, post_pred, ref, meta):
+        output_path = os.path.join(self.output_path, self.task_name)
+        post_path = os.path.join(output_path, "post")
+        heatmap_path = os.path.join(output_path, "heatmap")
+        screenshots = os.path.join(output_path, "screenshots")
+        for d in (post_path, heatmap_path, screenshots):
+            os.makedirs(d, exist_ok=True)
+        uid = meta["uid"]
+        heat_u8 = windowing_np(heatmap, from_span=(0, 1)).astype(np.uint8)
+        kw = dict(origin=meta.get("origin", (0, 0, 0)),
+                  direction=meta.get("direction"),
+                  spacing=meta["original_spacing"])
+        write_array_to_mha_itk(output_path, [pred.astype(np.uint8)], [uid],
+                               type=np.uint8, **kw)
+        write_array_to_mha_itk(heatmap_path, [heat_u8], [uid],
+                               type=np.uint8, **kw)
+        write_array_to_mha_itk(post_path, [post_pred.astype(np.uint8)], [uid],
+                               type=np.uint8, **kw)
+        if ref is None:
+            ref = np.zeros_like(pred)
+        try:
+            draw_mask_tile_singleview_heatmap(
+                windowing_np(scan).astype(np.uint8),
+                [[(pred * 255).astype(np.uint8)],
+                 [(post_pred * 255).astype(np.uint8)],
+                 [(ref * 255).astype(np.uint8)],
+                 [heat_u8]],
+                np.logical_or(pred > 0, ref > 0), 5,
+                os.path.join(screenshots, uid) + "/",
+                titles=["pred_lesion", "pred_lesion_post", "lesion",
+                        "pred_cam"])
+        except Exception as e:
+            self.logger.warning(f"screenshot failed for {uid}: {e}")
+
+    def run(self):
+        import pandas as pd
+        s = self.settings
+        if self.output_path is None:
+            st = self.saved_model_states
+            self.output_path = os.path.join(
+                self.exp_path, f"{st['epoch']}_{st['iteration']}")
+        output_path = os.path.join(self.output_path, self.task_name)
+        os.makedirs(output_path, exist_ok=True)
+        with open(output_path + "/settings.txt", "wt", newline="") as fp:
+            fp.write(str(self.settings))
+
+        # restartability: skip archived scans
+        uids = []
+        for uid in self.test_set.uids:
+            if os.path.exists(output_path + f"/{uid}.mha"):
+                self.logger.warning(f"already archived {uid}")
+            else:
+                uids.append(uid)
+        self.test_set.uids = uids
+        if hasattr(self.test_set, "series_uids"):
+            self.test_set.series_uids = uids
+        self.logger.info(f"start {len(uids)} scans after exclusion.")
+
+        rec_file = output_path + "/records.csv"
+        self.scan_records = pd.read_csv(rec_file) if os.path.exists(rec_file) \
+            else pd.DataFrame(columns=["uid"])
+        scan_timer = AverageMeter()
+        all_cls_preds, all_cls_targets = [], []
+        for scan_idx in range(len(self.test_set)):
+            uid = self.test_set.uids[scan_idx]
+            try:
+                start = time.time()
+                scan_data = self.test_set[scan_idx]
+                meta = scan_data["meta"]
+                out = self.process_scan(scan_data)
+                all_cls_preds.extend(out["cls_preds"])
+                all_cls_targets.extend(out["cls_targets"])
+
+                # resample everything back to the original grid
+                spacing = list(np.asarray(meta["spacing"]).flatten())
+                orig_spacing = list(np.asarray(meta["original_spacing"]).flatten())
+                orig_size = [int(v) for v in
+                             np.asarray(meta["original_size"]).flatten()]
+                pred, _ = T.resample_array(out["pred"], spacing, orig_spacing,
+                                           orig_size, "nearest")
+                post, _ = T.resample_array(out["post"], spacing, orig_spacing,
+                                           orig_size, "nearest")
+                heat, _ = T.resample_array(out["heatmap"], spacing,
+                                           orig_spacing, orig_size, "linear")
+                scan_b, _ = T.resample_array(
+                    scan_data["#image"].astype(np.float32), spacing,
+                    orig_spacing, orig_size, "linear")
+                pred = pred.astype(np.uint8)
+                post = post.astype(np.uint8)
+
+                row = {"uid": uid}
+                ref = None
+                if self.has_references and "#lesion_reference" in scan_data:
+                    lesion, _ = T.resample_array(
+                        scan_data["#lesion_reference"], spacing, orig_spacing,
+                        orig_size, "nearest")
+                    ref = (lesion > 0).astype(np.uint8)
+                    iou, dice = _np_metrics(pred > 0, ref > 0)
+                    iou_p, dice_p = _np_metrics(post > 0, ref > 0)
+                    acc = float(np.mean(np.asarray(out["cls_preds"]) ==
+                                        np.asarray(out["cls_targets"]))) \
+                        if out["cls_targets"] else float("nan")
+                    row.update({"iou": iou, "iou_post": iou_p, "dice": dice,
+                                "dice_post": dice_p, "acc": acc})
+                    self.logger.info(f"scan {uid}: iou {iou:.4f}, "
+                                     f"iou_post {iou_p:.4f}, dice {dice:.4f}")
+                self.archive_results(scan_b, heat, pred, post, ref, meta)
+                self.scan_records = pd.concat(
+                    [self.scan_records, pd.DataFrame([row])],
+                    ignore_index=True)
+                if scan_idx % 5 == 0 or scan_idx == len(self.test_set) - 1:
+                    self.scan_records.to_csv(rec_file, index=False)
+                dt = time.time() - start
+                scan_timer.update(dt)
+                self.logger.info(f"Finished {scan_idx} ({uid}) in {dt:.2f}s.")
+            except Exception:
+                self.logger.error(f"Cannot process scan {scan_idx} ({uid}): "
+                                  f"{traceback.format_exc()}")
+
+        if all_cls_targets:
+            import pandas as pd
+            try:
+                plot_confusion_matrix_from_data(
+                    all_cls_targets, all_cls_preds, labels=list(range(6)),
+                    save_path=output_path + "/cm")
+            except Exception as e:
+                self.logger.warning(f"cm plot failed: {e}")
+            pd.DataFrame({"target": all_cls_targets,
+                          "pred": all_cls_preds}).to_csv(
+                output_path + "/lobewise.csv")
+        self.logger.info(f"Finished testing, avg {scan_timer.avg:.2f}s/scan")
+        return self.scan_records

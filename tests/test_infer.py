@@ -1,0 +1,155 @@
+"""Inference-engine tests: end-to-end synthetic scan scoring, deployment
+mode, restartability, and per-scan error isolation."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from dram_tpu.data.prepare_data import make_synthetic_dataset
+from dram_tpu.utils import Settings, get_callable_by_name
+
+
+SETTINGS_TMPL = textwrap.dedent("""
+    DB_PATH = {db!r}
+    VALID_CSV = {db!r} + "/val.csv"
+    TEST_CSV = {db!r} + "/test.csv"
+    DEBUG_PATH = {out!r} + "/debug/"
+    MODEL_ROOT_PATH = {out!r} + "/models/"
+    JOB_RUNNER_CLS = "job_runner.LesionSegChunkTrain"
+    TEST_JOB_RUNNER_CLS = "job_runner.LesionSegTest"
+    EXP_NAME = "tiny_infer"
+    MODEL_NAME = "DC3D"
+    RESAMPLE_MODE = "fixed_size"
+    NUM_EPOCHS = 1
+    VAL_EPOCHS = 5
+    STATE_EPOCHS = 1
+    NUM_WORKERS = 0
+    LOG_STEPS = 100
+    AUG_RATIO = 0.0
+    BALANCED_LABEL_COUNT = 2
+    TRAIN_BATCH_SIZE = 2
+    RESAMPLE_SPACING = 1.0
+    TEST_RESAMPLE_SPACING = 2.0
+    RESAMPLE_SIZE = (16, 16, 16)
+    LOSS_FACTORS = [2.0, 1.0]
+    PAD_VALUE = -2048
+    WINDOWING_MAX = -300
+    WINDOWING_MIN = -1000
+    NR_CLASS = 1
+    COMPUTE_DTYPE = "float32"
+    RELOAD_CHECKPOINT = False
+    RELOAD_CHECKPOINT_PATH = None
+    RELOAD_DICT_LIST = ["model"]
+    MODEL = {{
+        "method": "models.DC3D",
+        "n_layers": 2,
+        "in_ch_list": [1, 8, 16, 48, 24],
+        "base_ch_list": [4, 8, 16, 16, 8],
+        "end_ch_list": [8, 16, 32, 16, 8],
+        "kernel_sizes": [(3, 3)] * 5,
+        "stacking": 2,
+        "padding_list": [(1, 1)] * 5,
+        "checkpoint_layers": [0, 0, 0, 0, 0],
+        "dropout": 0.0,
+        "out_ch": 1,
+    }}
+    INITIALIZER = {{"method": "models.HeNorm", "mode": "fan_in"}}
+    OPTIMIZER = {{"method": "torch.optim.Adam", "lr": 0.001}}
+    SCHEDULER = {{"method": "torch.optim.lr_scheduler.ExponentialLR",
+                  "gamma": 0.9}}
+    LOSS_FUNC = {{"method": "metrics.IntRegRefineLoss",
+                  "band_width": 1e-2, "smoothing": 0.1}}
+""")
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Synthetic db + a 1-epoch-trained checkpoint."""
+    db = str(tmp_path_factory.mktemp("db"))
+    out = str(tmp_path_factory.mktemp("out"))
+    make_synthetic_dataset(db, n_scans=3, size=(24, 32, 32), seed=0)
+    sfile = tmp_path_factory.mktemp("cfg") / "s.py"
+    sfile.write_text(SETTINGS_TMPL.format(db=db, out=out))
+    settings = Settings(str(sfile))
+    runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+        settings_module=settings)
+    runner.run()
+    return db, out, str(sfile)
+
+
+class TestLesionSegTest:
+    def test_scored_split_end_to_end(self, trained, tmp_path):
+        db, out, sfile = trained
+        from dram_tpu.infer.engine import LesionSegTest
+        settings = Settings(sfile)
+        outdir = str(tmp_path / "results")
+        eng = LesionSegTest(settings_module=settings, output_path=outdir)
+        records = eng.run()
+
+        taskdir = os.path.join(outdir, "test")
+        assert os.path.exists(os.path.join(taskdir, "records.csv"))
+        assert len(records) >= 1
+        assert "dice" in records.columns and "iou_post" in records.columns
+        assert np.isfinite(records["dice"]).all()
+        # outputs archived
+        uid = records["uid"].iloc[0]
+        assert os.path.exists(os.path.join(taskdir, f"{uid}.mha"))
+        assert os.path.exists(os.path.join(taskdir, "heatmap", f"{uid}.mha"))
+        assert os.path.exists(os.path.join(taskdir, "post", f"{uid}.mha"))
+        assert os.path.exists(os.path.join(taskdir, "lobewise.csv"))
+        # outputs are at the original grid
+        from dram_tpu.data.io import read_mha
+        pred = read_mha(os.path.join(taskdir, f"{uid}.mha"))
+        assert pred["array"].shape == (24, 32, 32)
+
+    def test_restartability_skips_archived(self, trained, tmp_path):
+        db, out, sfile = trained
+        from dram_tpu.infer.engine import LesionSegTest
+        settings = Settings(sfile)
+        outdir = str(tmp_path / "results2")
+        eng = LesionSegTest(settings_module=settings, output_path=outdir)
+        eng.run()
+        n_first = len(eng.test_set.uids)
+        # second run must skip everything
+        settings2 = Settings(sfile)
+        eng2 = LesionSegTest(settings_module=settings2, output_path=outdir)
+        eng2.run()
+        assert len(eng2.test_set.uids) == 0
+        assert n_first >= 1
+
+    def test_deployment_mode_without_references(self, trained, tmp_path):
+        db, out, sfile = trained
+        from dram_tpu.infer.engine import LesionSegTest
+        settings = Settings(sfile)
+        outdir = str(tmp_path / "deploy")
+        eng = LesionSegTest(settings_module=settings,
+                            scan_path=os.path.join(db, "wss", "images"),
+                            lobe_path=os.path.join(db, "wss", "lobes"),
+                            output_path=outdir)
+        records = eng.run()
+        assert len(records) == 3
+        assert "dice" not in records.columns  # no references, no metrics
+        taskdir = os.path.join(outdir, "test")
+        for uid in records["uid"]:
+            assert os.path.exists(os.path.join(taskdir, f"{uid}.mha"))
+
+    def test_per_scan_error_isolation(self, trained, tmp_path, monkeypatch):
+        db, out, sfile = trained
+        from dram_tpu.infer.engine import LesionSegTest
+        settings = Settings(sfile)
+        outdir = str(tmp_path / "errors")
+        eng = LesionSegTest(settings_module=settings, output_path=outdir)
+        orig = eng.process_scan
+        calls = {"n": 0}
+
+        def flaky(scan_data):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+            return orig(scan_data)
+
+        monkeypatch.setattr(eng, "process_scan", flaky)
+        records = eng.run()  # must not raise
+        assert calls["n"] == len(records) + 1 or calls["n"] >= 1
