@@ -92,7 +92,7 @@ def sharded_stencil_apply(fn, volume, mesh, halo, axis=0,
     halo exchange (context-parallel analog for conv/stencil-attention
     inference on scans too big for one chip's HBM).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndim = volume.ndim
     spec_elems = [None] * ndim

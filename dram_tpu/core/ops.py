@@ -232,6 +232,33 @@ def stitch_masked(full, chunk, starts, mask):
 
 
 # ---------------------------------------------------------------------------
+# Binary-mask bit packing: D2H transfer compression for low-bandwidth links.
+# A 512x512x400 uint8 mask is 105 MB; packed it is 13 MB. np.unpackbits on
+# the host reverses it (MSB-first order).
+# ---------------------------------------------------------------------------
+
+def packbits_u8(mask):
+    """Pack a boolean/0-1 array into uint8 (np.packbits MSB-first order).
+
+    Returns a 1-D uint8 array of length ceil(mask.size/8); unpack with
+    `unpackbits_np(packed, shape)`.
+    """
+    flat = (mask.reshape(-1) > 0).astype(jnp.uint8)
+    pad = (-flat.shape[0]) % 8
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.uint8)])
+    groups = flat.reshape(-1, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(groups * weights, axis=1, dtype=jnp.uint8)
+
+
+def unpackbits_np(packed, shape):
+    """Host inverse of packbits_u8."""
+    bits = np.unpackbits(np.asarray(packed, np.uint8))
+    return bits[: int(np.prod(shape))].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
 # Segmentation metrics. Reference: utils.py:437-462.
 # ---------------------------------------------------------------------------
 

@@ -140,9 +140,16 @@ def itk_resample3d(x, out_size, scales=None, method="linear", fill_value=0.0):
         in_size = y.shape[ax]
         W, valid = _axis_weights(in_size, int(out_size[ax]),
                                  mode, None if scales[ax] is None else float(scales[ax]))
-        y = _apply_axis(y, jnp.asarray(W), ax)
+        if mode == "itk_nearest":
+            # nearest is a pure gather: cheaper than a 0/1 matmul and exact
+            idx = np.argmax(W, axis=1).astype(np.int32)
+            y = jnp.take(y, jnp.asarray(idx), axis=ax)
+        else:
+            y = _apply_axis(y, jnp.asarray(W), ax)
         v = jnp.asarray(valid).reshape([-1 if i == ax else 1 for i in range(3)])
         valid_mask = v if valid_mask is None else valid_mask * v
+    if mode == "itk_nearest":
+        y = y * valid_mask
     y = y + (1.0 - valid_mask) * fill_value
     if jnp.issubdtype(orig_dtype, jnp.floating):
         return y.astype(orig_dtype)

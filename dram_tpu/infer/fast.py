@@ -1,0 +1,311 @@
+"""Fast full-scan inference: the whole prep->lesion-mask pipeline on device.
+
+This is the TPU-native redesign of the reference's per-scan loop
+(reference job_runner.py:942-1030), which interleaved SimpleITK resampling,
+host crops, per-lobe GPU forwards and D2H stitching. Here one scan is
+processed as three XLA programs with a single H2D of the raw volumes and a
+single D2H of the final mask:
+
+  1. iso-resample scan+lobe to the test grid (separable einsum matmuls);
+  2. all 5 lobes as ONE batched chunk pipeline: dynamic-slice crops into a
+     shared bucket, lobe masking (-2048), windowing, per-lobe gather-based
+     ITK resize to the model chunk size, the model forward (batch=5), CAM
+     relu + max-norm + ratio->class gating, gather-based align-corners
+     resize back to the bucket, and stitching via dynamic_update_slice;
+  3. lung-masked Otsu + intensity post rule + nearest resample back to the
+     original grid.
+
+Only the 5 lobe bounding boxes are computed on host (from a small
+downsampled projection of the lobe mask). Chunk crops use a shared padded
+bucket so every shape is static; gather-based per-sample resizes make the
+per-lobe scale factors data, not shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ops import binary_cam_threshold, packbits_u8, unpackbits_np, windowing
+from ..core.resample import itk_resample3d
+from ..losses.interval_reg import CTSS_RATIO_UB
+
+
+def _src_to_gather(src, src_len, offset, total_axis):
+    """Continuous source coords -> clamped (lo, hi, frac) into a padded axis
+    where the source region starts at `offset`."""
+    src = np.clip(src, 0.0, src_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, src_len - 1)
+    frac = (src - lo).astype(np.float32)
+    lo = np.clip(lo + offset, 0, total_axis - 1).astype(np.int32)
+    hi = np.clip(hi + offset, 0, total_axis - 1).astype(np.int32)
+    return lo, hi, frac
+
+
+def forward_resize_weights(sizes, offsets, out_size, bucket):
+    """Weights for the crop->chunk ITK resize (src = i*size/out), where each
+    lobe's crop of extent sizes[s] starts at offsets[s] inside the bucket.
+    Returns per-axis (N, out) lo/hi/frac arrays."""
+    n = len(sizes)
+    los, his, fracs = [], [], []
+    for ax in range(3):
+        lo = np.zeros((n, out_size[ax]), np.int32)
+        hi = np.zeros((n, out_size[ax]), np.int32)
+        fr = np.zeros((n, out_size[ax]), np.float32)
+        for s in range(n):
+            size = int(sizes[s][ax])
+            src = np.arange(out_size[ax]) * size / out_size[ax]
+            lo[s], hi[s], fr[s] = _src_to_gather(src, size,
+                                                 int(offsets[s][ax]),
+                                                 bucket[ax])
+        los.append(lo), his.append(hi), fracs.append(fr)
+    return los, his, fracs
+
+
+def backward_resize_weights(sizes, offsets, chunk_size, bucket):
+    """Weights for the chunk->crop align-corners resize, emitted over the
+    whole bucket: bucket position p maps to chunk coord
+    (p - offset)*(chunk-1)/(size-1); positions outside the crop clamp (they
+    are masked by the lobe mask downstream)."""
+    n = len(sizes)
+    los, his, fracs = [], [], []
+    for ax in range(3):
+        lo = np.zeros((n, bucket[ax]), np.int32)
+        hi = np.zeros((n, bucket[ax]), np.int32)
+        fr = np.zeros((n, bucket[ax]), np.float32)
+        for s in range(n):
+            size = max(int(sizes[s][ax]), 1)
+            p = np.arange(bucket[ax], dtype=np.float64) - int(offsets[s][ax])
+            src = p * (chunk_size[ax] - 1) / max(size - 1, 1)
+            lo[s], hi[s], fr[s] = _src_to_gather(src, chunk_size[ax], 0,
+                                                 chunk_size[ax])
+        los.append(lo), his.append(hi), fracs.append(fr)
+    return los, his, fracs
+
+
+def _gather_axis(x, lo, hi, frac, axis):
+    """Per-sample linear interpolation along `axis` of x (N, D, H, W)."""
+    def one(xs, lo_s, hi_s, fr_s):
+        a = jnp.take(xs, lo_s, axis=axis - 1)
+        b = jnp.take(xs, hi_s, axis=axis - 1)
+        shape = [1, 1, 1]
+        shape[axis - 1] = -1
+        f = fr_s.reshape(shape)
+        return a * (1.0 - f) + b * f
+
+    return jax.vmap(one)(x, jnp.asarray(lo), jnp.asarray(hi),
+                         jnp.asarray(frac))
+
+
+def gather_resize(x, weights):
+    """x (N, Db, Hb, Wb) -> (N, *out_size) using precomputed weights."""
+    los, his, fracs = weights
+    for ax in range(3):
+        x = _gather_axis(x, los[ax], his[ax], fracs[ax], ax + 1)
+    return x
+
+
+class FastScanPipeline:
+    """Single-chip fast path; one instance per (scan-grid, bucket) shapes."""
+
+    def __init__(self, model_eval, params, batch_stats, chunk_size=(80, 80, 80),
+                 windowing_span=(-1000, -300), pad_value=-2048.0,
+                 n_lobes=5):
+        self.model_eval = model_eval
+        self.params = params
+        self.batch_stats = batch_stats
+        self.chunk_size = tuple(chunk_size)
+        self.windowing_span = tuple(windowing_span)
+        self.pad_value = float(pad_value)
+        self.n_lobes = n_lobes
+        self._stage1 = {}
+        self._stage2 = {}
+        self._stage3 = {}
+
+    # -- stage 1: iso resample ------------------------------------------
+    def _get_stage1(self, in_shape, iso_shape, scales):
+        key = (in_shape, iso_shape, tuple(np.round(scales, 6)))
+        n_lobes = self.n_lobes
+        if key not in self._stage1:
+            @jax.jit
+            def stage1(scan, lobe):
+                scan_f = scan.astype(jnp.float32)
+                iso_scan = itk_resample3d(scan_f, iso_shape, scales=scales,
+                                          method="linear",
+                                          fill_value=self.pad_value)
+                iso_lobe = itk_resample3d(lobe.astype(jnp.float32), iso_shape,
+                                          scales=scales, method="nearest")
+                iso_lobe = iso_lobe.astype(jnp.uint8)
+                # tiny per-lobe axis projections: the only bbox data the
+                # host needs (a few KB instead of the 40+ MB lobe volume)
+                projs = []
+                for ax in range(3):
+                    other = tuple(i for i in range(3) if i != ax)
+                    projs.append(jnp.stack(
+                        [jnp.any(iso_lobe == li + 1, axis=other)
+                         for li in range(n_lobes)]))
+                return iso_scan, iso_lobe, projs
+
+            self._stage1[key] = stage1
+        return self._stage1[key]
+
+    # -- stage 2: batched lobe chunks -> stitched heatmap ----------------
+    def _get_stage2(self, iso_shape, bucket):
+        key = (iso_shape, bucket)
+        if key in self._stage2:
+            return self._stage2[key]
+        model_eval = self.model_eval
+        chunk = self.chunk_size
+        span = self.windowing_span
+        pad_value = self.pad_value
+        n_lobes = self.n_lobes
+
+        @jax.jit
+        def stage2(params, batch_stats, iso_scan, iso_lobe, starts,
+                   fw_los, fw_his, fw_fracs, bw_los, bw_his, bw_fracs,
+                   lobe_present):
+            # crop every lobe into the shared bucket
+            crops, lobe_crops = [], []
+            for li in range(n_lobes):
+                c = jax.lax.dynamic_slice(iso_scan, tuple(starts[li]), bucket)
+                l = jax.lax.dynamic_slice(iso_lobe, tuple(starts[li]), bucket)
+                crops.append(c)
+                lobe_crops.append(l == (li + 1))
+            x = jnp.stack(crops)                       # (5, *bucket)
+            lmask = jnp.stack(lobe_crops)              # (5, *bucket) bool
+            x = jnp.where(lmask, x, pad_value)
+            x = windowing(x, span, (0.0, 1.0))
+
+            fw = ([fw_los[i] for i in range(3)], [fw_his[i] for i in range(3)],
+                  [fw_fracs[i] for i in range(3)])
+            x80 = gather_resize(x, fw)                 # (5, 80,80,80)
+            l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
+
+            dense, refined = model_eval.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x80[..., None], l80[..., None].astype(jnp.float32))
+            out = refined[..., 0].astype(jnp.float32)  # (5, 80,80,80)
+
+            probs = jax.nn.sigmoid(out)
+            lm = l80.astype(jnp.float32)
+            ratio = jnp.sum(probs * lm, (1, 2, 3)) / \
+                jnp.maximum(jnp.sum(lm, (1, 2, 3)), 1.0)
+            nonzero_cls = (ratio >= CTSS_RATIO_UB[0]).astype(jnp.float32)
+
+            cam = jnp.maximum(out, 0.0)
+            cam_max = jnp.max(cam, (1, 2, 3), keepdims=True)
+            cam = cam / jnp.maximum(cam_max, 1e-12)
+            cam = cam * nonzero_cls[:, None, None, None]
+            cam = cam * (lobe_present[:, None, None, None])
+
+            bw = ([bw_los[i] for i in range(3)], [bw_his[i] for i in range(3)],
+                  [bw_fracs[i] for i in range(3)])
+            cam_b = gather_resize(cam, bw)             # (5, *bucket)
+
+            htp = jnp.zeros(iso_shape, jnp.float32)
+            for li in range(n_lobes):
+                region = jax.lax.dynamic_slice(htp, tuple(starts[li]), bucket)
+                upd = jnp.where(lmask[li], cam_b[li], region)
+                htp = jax.lax.dynamic_update_slice(htp, upd, tuple(starts[li]))
+            return htp, ratio, nonzero_cls
+
+        self._stage2[key] = stage2
+        return stage2
+
+    # -- stage 3: threshold + post + back-resample ------------------------
+    def _get_stage3(self, iso_shape, out_shape, back_scales):
+        key = (iso_shape, out_shape, tuple(np.round(back_scales, 6)))
+        if key in self._stage3:
+            return self._stage3[key]
+        span = self.windowing_span
+
+        @jax.jit
+        def stage3(htp, iso_scan, iso_lobe, vessel):
+            lung = iso_lobe > 0
+            th = binary_cam_threshold(htp, mask=lung)
+            pred = (htp > th).astype(jnp.float32)
+            w_scan = windowing(iso_scan, span, (0.0, 1.0))
+            th_i = binary_cam_threshold(w_scan, mask=lung, scaler=0.75)
+            post = pred * (w_scan > th_i) * (1.0 - (vessel > 0))
+            pred_o = itk_resample3d(pred, out_shape, scales=back_scales,
+                                    method="nearest")
+            post_o = itk_resample3d(post, out_shape, scales=back_scales,
+                                    method="nearest")
+            # bit-packed D2H: 8x less traffic on low-bandwidth host links
+            return packbits_u8(pred_o > 0.5), packbits_u8(post_o > 0.5), th
+
+        self._stage3[key] = stage3
+        return stage3
+
+    # ---------------------------------------------------------------
+    @staticmethod
+    def _bboxes(projs_np, n_lobes, border_vox, iso_shape):
+        """Host: per-lobe bbox (lo, size) + presence flags from the tiny
+        per-axis projections computed on device."""
+        lows = np.zeros((n_lobes, 3), np.int32)
+        sizes = np.ones((n_lobes, 3), np.int32)
+        present = np.zeros((n_lobes,), np.float32)
+        for li in range(n_lobes):
+            if not projs_np[0][li].any():
+                continue
+            present[li] = 1.0
+            for ax in range(3):
+                idx = np.where(projs_np[ax][li])[0]
+                lo = max(0, int(idx[0]) - border_vox)
+                hi = min(iso_shape[ax], int(idx[-1]) + 1 + border_vox)
+                lows[li, ax] = lo
+                sizes[li, ax] = hi - lo
+        return lows, sizes, present
+
+    def process(self, scan_np, lobe_np, spacing, iso_spacing=1.0,
+                vessel_np=None, crop_border_mm=5.0):
+        """Full pipeline; returns dict with masks at the original grid."""
+        in_shape = tuple(scan_np.shape)
+        spacing = np.asarray(spacing, np.float64)
+        scales = (iso_spacing / spacing)
+        iso_shape = tuple(int(np.ceil(s / sc))
+                          for s, sc in zip(in_shape, scales))
+
+        stage1 = self._get_stage1(in_shape, iso_shape, tuple(scales.tolist()))
+        iso_scan, iso_lobe, projs = stage1(jnp.asarray(scan_np),
+                                           jnp.asarray(lobe_np))
+
+        # host bboxes from the tiny device-computed projections
+        projs_np = [np.asarray(p) for p in projs]
+        border_vox = int(np.ceil(crop_border_mm / iso_spacing))
+        lows, sizes, present = self._bboxes(projs_np, self.n_lobes,
+                                            border_vox, iso_shape)
+        # shared bucket: max lobe extent rounded up to a multiple of 16
+        bucket = tuple(int(min(-(-int(sizes[:, ax].max()) // 16) * 16,
+                               iso_shape[ax])) for ax in range(3))
+        # bucket window start: bbox low, clamped so the window fits
+        starts = np.minimum(lows,
+                            np.asarray(iso_shape) - np.asarray(bucket))
+        starts = np.maximum(starts, 0).astype(np.int32)
+        offsets = lows - starts  # crop position inside the bucket window
+
+        fw = forward_resize_weights(sizes, offsets, self.chunk_size, bucket)
+        bw = backward_resize_weights(sizes, offsets, self.chunk_size, bucket)
+        stage2 = self._get_stage2(iso_shape, bucket)
+        htp, ratio, nz = stage2(
+            self.params, self.batch_stats, iso_scan, iso_lobe,
+            jnp.asarray(starts),
+            [jnp.asarray(a) for a in fw[0]], [jnp.asarray(a) for a in fw[1]],
+            [jnp.asarray(a) for a in fw[2]],
+            [jnp.asarray(a) for a in bw[0]], [jnp.asarray(a) for a in bw[1]],
+            [jnp.asarray(a) for a in bw[2]],
+            jnp.asarray(present))
+
+        back_scales = tuple((spacing / iso_spacing).tolist())
+        vessel = jnp.zeros(iso_shape, jnp.uint8) if vessel_np is None \
+            else jnp.asarray(vessel_np)
+        stage3 = self._get_stage3(iso_shape, in_shape, back_scales)
+        pred_p, post_p, th = stage3(htp, iso_scan, iso_lobe, vessel)
+        return {"pred": unpackbits_np(pred_p, in_shape),
+                "post": unpackbits_np(post_p, in_shape),
+                "heatmap_iso": htp, "threshold": float(th),
+                "ratios": np.asarray(ratio)}

@@ -1,0 +1,127 @@
+"""FastScanPipeline (all-device path) vs the reference-shaped engine path:
+same synthetic scan, same weights -> near-identical lesion masks."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dram_tpu.data.prepare_data import _synth_scan
+from dram_tpu.infer.fast import FastScanPipeline
+from dram_tpu.models import DC3D
+
+
+CFG = dict(n_layers=2, in_ch_list=(1, 8, 16, 48, 24),
+           base_ch_list=(4, 8, 16, 16, 8), end_ch_list=(8, 16, 32, 16, 8),
+           padding_list=((1, 1),) * 5, checkpoint_layers=(0, 0, 0, 0, 0),
+           kernel_sizes=[(3, 3)] * 5, stacking=2)
+CHUNK = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = DC3D(**CFG, train=False)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, *CHUNK, 1)))
+    return model, v["params"], v["batch_stats"]
+
+
+def _engine_like_reference(scan, lobe, spacing, model, params, batch_stats):
+    """Replica of the host-stitch path (engine.process_scan semantics) to
+    serve as the oracle for the fused device pipeline."""
+    from dram_tpu.core.ops import binary_cam_np, find_crops_np, windowing_np
+    from dram_tpu.core.resample import resize3d_np
+    from dram_tpu.data import transforms as T
+    from dram_tpu.losses.interval_reg import ratio_to_label
+
+    iso_t = T.Resample(mode="fixed_spacing", factor=1.0)
+    s = iso_t({"#image": scan.astype(np.int16),
+               "#lobe_reference": lobe.astype(np.uint8),
+               "meta": {"size": scan.shape, "spacing": spacing}})
+    iso_scan, iso_lobe = s["#image"], s["#lobe_reference"]
+    iso_spacing = s["meta"]["spacing"]
+    htp = np.zeros(iso_scan.shape, np.float32)
+    pre = T.Compose([T.Windowing(min=-1000, max=-300),
+                     T.Resample(mode="fixed_size", factor=1.0, size=CHUNK)])
+    for li in range(1, 6):
+        m = iso_lobe == li
+        if not m.any():
+            continue
+        crop = find_crops_np(m, iso_spacing, 5)
+        lobe_chunk = m[crop]
+        scan_chunk = iso_scan[crop].copy()
+        scan_chunk[~lobe_chunk] = -2048
+        ret = pre({"#image": scan_chunk.astype(np.int16),
+                   "#lobe_reference": lobe_chunk.astype(np.uint8),
+                   "meta": {"size": scan_chunk.shape,
+                            "spacing": iso_spacing}})
+        dense, refined = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(ret["#image"][None, ..., None], jnp.float32),
+            jnp.asarray(ret["#lobe_reference"][None, ..., None], jnp.float32))
+        out = np.asarray(refined, np.float32)[0, ..., 0]
+        l16 = ret["#lobe_reference"] > 0
+        probs = 1 / (1 + np.exp(-out))
+        ratio = float(probs[l16].mean()) if l16.any() else 0.0
+        cam = np.maximum(out, 0)
+        cam = resize3d_np(cam, scan_chunk.shape, "trilinear")
+        cam = np.maximum(cam, 0)
+        if cam.max() > 0:
+            cam = cam / cam.max()
+        if ratio_to_label([ratio])[0] == 0:
+            cam[:] = 0
+        htp[crop][lobe_chunk] = cam[lobe_chunk]
+    lung = iso_lobe > 0
+    _, th = binary_cam_np(htp[lung])
+    pred_iso = htp > th
+    return htp, pred_iso, th, iso_scan.shape
+
+
+class TestFastPipelineParity:
+    def test_pred_mask_close_to_reference_path(self, model_and_params):
+        model, params, batch_stats = model_and_params
+        rng = np.random.default_rng(0)
+        scan, lobe, lesion, vessel, sev = _synth_scan(
+            rng, (40, 48, 48), lesion_severity=[3, 4, 2, 5, 3])
+        spacing = (1.5, 0.9, 0.9)
+
+        fast = FastScanPipeline(model, params, batch_stats,
+                                chunk_size=CHUNK,
+                                windowing_span=(-1000, -300))
+        out = fast.process(scan, lobe, spacing)
+
+        htp_o, pred_iso_o, th_o, iso_shape = _engine_like_reference(
+            scan, lobe, spacing, model, params, batch_stats)
+
+        htp_f = np.asarray(out["heatmap_iso"])
+        assert htp_f.shape == iso_shape
+        # heatmaps agree where defined
+        mask = (htp_o > 0) | (htp_f > 0)
+        if mask.any():
+            diff = np.abs(htp_f - htp_o)[mask]
+            assert np.quantile(diff, 0.95) < 0.08
+        # thresholds agree closely
+        assert out["threshold"] == pytest.approx(th_o, abs=5 / 255)
+
+        # final mask at the original grid mostly matches
+        pred_f = out["pred"] > 0
+        from dram_tpu.data.transforms import resample_array
+        pred_o_orig, _ = resample_array(
+            pred_iso_o.astype(np.uint8), (1.0, 1.0, 1.0),
+            list(spacing), list(scan.shape), "nearest")
+        pred_o_orig = pred_o_orig > 0
+        inter = np.logical_and(pred_f, pred_o_orig).sum()
+        denom = pred_f.sum() + pred_o_orig.sum()
+        dice = 2 * inter / max(denom, 1)
+        assert denom == 0 or dice > 0.92, f"dice {dice}"
+
+    def test_empty_lobe_handled(self, model_and_params):
+        model, params, batch_stats = model_and_params
+        rng = np.random.default_rng(1)
+        scan, lobe, *_ = _synth_scan(rng, (32, 40, 40))
+        lobe[lobe == 5] = 0  # drop a lobe entirely
+        fast = FastScanPipeline(model, params, batch_stats, chunk_size=CHUNK,
+                                windowing_span=(-1000, -300))
+        out = fast.process(scan, lobe, (1.0, 1.0, 1.0))
+        assert out["pred"].shape == scan.shape
+        assert np.isfinite(out["ratios"]).all()

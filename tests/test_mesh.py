@@ -1,0 +1,111 @@
+"""Mesh-layer tests on the fake 8-device CPU mesh: halo exchange, sharded
+stencil application, and data-parallel train-step parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from dram_tpu.core.mesh import (best_mesh, halo_exchange, replicate,
+                                shard_batch_arrays, sharded_stencil_apply)
+
+
+needs_devices = pytest.mark.skipif(jax.device_count() < 8,
+                                   reason="needs 8 fake devices")
+
+
+@needs_devices
+class TestHaloExchange:
+    def test_halo_matches_zero_padded_slices(self):
+        mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+        x = jnp.arange(16.0).reshape(16, 1)
+
+        def local(block):
+            return halo_exchange(block, "space", 1, 0)
+
+        f = shard_map(local, mesh=mesh, in_specs=(P("space", None),),
+                      out_specs=P("space", None))
+        out = np.asarray(f(x))  # each 4-row shard becomes 6 rows
+        assert out.shape == (24, 1)
+        # shard 1 (rows 6..12): left halo = 3 (last row of shard 0)
+        np.testing.assert_allclose(out[6, 0], 3.0)
+        np.testing.assert_allclose(out[11, 0], 8.0)  # right halo = row 8
+        # boundary shards get zeros
+        np.testing.assert_allclose(out[0, 0], 0.0)
+        np.testing.assert_allclose(out[-1, 0], 0.0)
+
+    def test_sharded_mean_filter_exact(self, rng):
+        mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+        vol = jnp.asarray(rng.normal(size=(32, 8, 8)).astype(np.float32))
+
+        def mean3(x):  # zero-padded 3-tap mean along axis 0
+            xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+            return (xp[:-2] + xp[1:-1] + xp[2:]) / 3.0
+
+        def fn(block):  # receptive field radius 1, shape-preserving
+            return (jnp.concatenate([block[:1] * 0, block[:-1]]) +
+                    block +
+                    jnp.concatenate([block[1:], block[-1:] * 0])) / 3.0
+
+        got = np.asarray(sharded_stencil_apply(fn, vol, mesh, halo=1, axis=0))
+        want = np.asarray(mean3(vol))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_devices
+class TestDataParallelStep:
+    def test_sharded_loss_and_grads_match_single_device(self, rng):
+        """The DP-sharded train step must be numerically equivalent to the
+        single-device step: XLA's inserted collectives implement exactly
+        the global batch reductions."""
+        from dram_tpu.models import DC3D
+        from dram_tpu.losses import IntRegRefineLoss
+
+        cfg = dict(n_layers=1, in_ch_list=(1, 4, 12), base_ch_list=(2, 4, 4),
+                   end_ch_list=(4, 8, 4), padding_list=((1, 1),) * 3,
+                   checkpoint_layers=(0, 0, 0), kernel_sizes=[(3, 3)] * 3,
+                   stacking=1, norm_method="ln")
+        model = DC3D(**cfg)
+        B = 8
+        x = rng.normal(size=(B, 8, 8, 8, 1)).astype(np.float32)
+        lobes = (rng.random((B, 8, 8, 8, 1)) > 0.3).astype(np.float32)
+        cands = ((rng.random((B, 8, 8, 8, 1)) > 0.7) * lobes).astype(np.float32)
+        ctss = rng.integers(0, 6, B).astype(np.int32)
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+        loss_obj = IntRegRefineLoss()
+
+        def loss_fn(params, images, lo, le, ct):
+            def model_fn(im, l):
+                return model.apply({"params": params}, im, l)
+            reg, seg = loss_obj(model_fn, images, lo, le, ct)
+            return 2.0 * reg + seg
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        l1, g1 = jax.jit(grad_fn)(v["params"], jnp.asarray(x),
+                                  jnp.asarray(lobes), jnp.asarray(cands),
+                                  jnp.asarray(ctss))
+
+        mesh = best_mesh(batch_size=B)
+        assert mesh is not None and mesh.devices.size == 8
+        from jax.sharding import NamedSharding
+        batch_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        jitted = jax.jit(grad_fn, in_shardings=(repl, batch_sh, batch_sh,
+                                                batch_sh, batch_sh))
+        params_r = replicate(mesh, v["params"])
+        arrs = shard_batch_arrays(mesh, (x, lobes, cands, ctss))
+        l8, g8 = jitted(params_r, *arrs)
+
+        np.testing.assert_allclose(float(l1), float(l8), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_best_mesh_divisibility(self):
+        m = best_mesh(batch_size=10)  # 8 devices don't divide 10 -> 2 do
+        assert m is None or 10 % m.devices.size == 0
+        m8 = best_mesh(batch_size=16)
+        assert m8 is not None and m8.devices.size == 8
