@@ -253,9 +253,13 @@ def packbits_u8(mask):
 
 
 def unpackbits_np(packed, shape):
-    """Host inverse of packbits_u8."""
-    bits = np.unpackbits(np.asarray(packed, np.uint8))
-    return bits[: int(np.prod(shape))].reshape(shape)
+    """Host inverse of packbits_u8 (C++/OpenMP fast path when built)."""
+    try:
+        from ..native import hostprep_native
+        return hostprep_native.unpackbits(np.asarray(packed, np.uint8), shape)
+    except Exception:
+        bits = np.unpackbits(np.asarray(packed, np.uint8))
+        return bits[: int(np.prod(shape))].reshape(shape)
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,8 @@ class LesionSegTest:
         self.model_eval = self._runner.model_eval
         self.params = self._runner.params
         self.batch_stats = self._runner.batch_stats
+        self.trace = False
+        self._trace_uid = "chunk"
         self.saved_model_states = {
             "epoch": self._runner.epoch_n,
             "iteration": self._runner.current_iteration,
@@ -127,6 +129,22 @@ class LesionSegTest:
                            jnp.float32)
         dense, refined = self._forward()(self.params, self.batch_stats,
                                          image, lobe)
+        if getattr(self, "trace", False):
+            # before/after-refinement heatmap trace (reference
+            # models.py:520-546 apply_attention trace hook)
+            trace_dir = os.path.join(self.output_path or self.exp_path,
+                                     "apply_attention")
+            d_np = np.asarray(dense, np.float32)[0, ..., 0]
+            r_np = np.asarray(refined, np.float32)[0, ..., 0]
+            lobe_np = np.asarray(ret["#lobe_reference"]) > 0
+            draw_mask_tile_singleview_heatmap(
+                windowing_np(np.asarray(ret["#image"]),
+                             from_span=(0, 1)).astype(np.uint8),
+                [[(windowing_np(d_np, from_span=None) * lobe_np).astype(np.uint8)],
+                 [(windowing_np(r_np, from_span=None) * lobe_np).astype(np.uint8)]],
+                r_np > 0, 5,
+                os.path.join(trace_dir, f"{self._trace_uid}"),
+                titles=["dram", "dram_refine"])
         out = np.asarray(refined, np.float32)[0, ..., 0]
         lobe80 = np.asarray(ret["#lobe_reference"]) > 0
         probs = 1.0 / (1.0 + np.exp(-out))
@@ -167,6 +185,7 @@ class LesionSegTest:
             lobe_chunk = lobe_binary[crop]
             scan_chunk = scan[crop].copy()
             scan_chunk[lobe_chunk == 0] = s.PAD_VALUE
+            self._trace_uid = f"{meta.get('uid', 'scan')}_{lobe_label}"
             cam, cls_pred = self.infer_lobe_chunk(scan_chunk, lobe_chunk,
                                                   meta["spacing"])
             cls_preds.append(cls_pred)

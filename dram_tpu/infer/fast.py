@@ -153,6 +153,25 @@ class FastScanPipeline:
             self._stage1[key] = stage1
         return self._stage1[key]
 
+    # -- stage 1p: decode host-prepped packed iso volumes -----------------
+    def _get_stage1p(self, iso_shape, n_voxels):
+        key = ("prepped", iso_shape, n_voxels)
+        if key not in self._stage1:
+            @jax.jit
+            def stage1p(packed_scan, packed_lobe):
+                b = packed_scan.astype(jnp.int32).reshape(-1, 3)
+                u0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
+                u1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
+                u = jnp.stack([u0, u1], axis=1).reshape(-1)[:n_voxels]
+                iso_scan = (u - 2048).astype(jnp.float32).reshape(iso_shape)
+                lb = packed_lobe.astype(jnp.int32)
+                l = jnp.stack([lb >> 4, lb & 0xF], axis=1).reshape(-1)
+                iso_lobe = l[:n_voxels].astype(jnp.uint8).reshape(iso_shape)
+                return iso_scan, iso_lobe
+
+            self._stage1[key] = stage1p
+        return self._stage1[key]
+
     # -- stage 2: batched lobe chunks -> stitched heatmap ----------------
     def _get_stage2(self, iso_shape, bucket):
         key = (iso_shape, bucket)
@@ -241,6 +260,55 @@ class FastScanPipeline:
         self._stage3[key] = stage3
         return stage3
 
+    # -- stage 3c: crop-aware variant (host-prepped lung-cropped grids) --
+    def _get_stage3c(self, iso_crop_shape, out_crop_shape):
+        key = ("crop", iso_crop_shape, out_crop_shape)
+        if key in self._stage3:
+            return self._stage3[key]
+        span = self.windowing_span
+
+        @jax.jit
+        def stage3c(htp, iso_scan, iso_lobe, vessel, gz, gy, gx):
+            lung = iso_lobe > 0
+            th = binary_cam_threshold(htp, mask=lung)
+            pred = (htp > th).astype(jnp.float32)
+            w_scan = windowing(iso_scan, span, (0.0, 1.0))
+            th_i = binary_cam_threshold(w_scan, mask=lung, scaler=0.75)
+            post = pred * (w_scan > th_i) * (1.0 - (vessel > 0))
+
+            def back(x):
+                x = jnp.take(x, gz, axis=0)
+                x = jnp.take(x, gy, axis=1)
+                return jnp.take(x, gx, axis=2)
+
+            return packbits_u8(back(pred) > 0.5), \
+                packbits_u8(back(post) > 0.5), th
+
+        self._stage3[key] = stage3c
+        return stage3c
+
+    @staticmethod
+    def _back_gather_tables(out_shape, scale, crop_lo, crop_shape,
+                            multiple=32):
+        """Host: per-axis nearest gather indices (into the cropped iso grid)
+        for the original-grid output window covering the crop. Returns
+        (o_lo, o_shape, [idx_z, idx_y, idx_x])."""
+        o_lo, o_shape, tables = [], [], []
+        for ax in range(3):
+            i = np.arange(out_shape[ax])
+            idx = np.floor(i * scale[ax] + 0.5).astype(np.int64) - crop_lo[ax]
+            valid = (idx >= 0) & (idx < crop_shape[ax])
+            nz = np.where(valid)[0]
+            lo = int(nz[0]) if len(nz) else 0
+            hi = int(nz[-1]) + 1 if len(nz) else 1
+            size = min(-(-(hi - lo) // multiple) * multiple, out_shape[ax])
+            lo = max(0, min(lo, out_shape[ax] - size))
+            o_lo.append(lo)
+            o_shape.append(size)
+            tables.append(np.clip(idx[lo:lo + size], 0,
+                                  crop_shape[ax] - 1).astype(np.int32))
+        return o_lo, tuple(o_shape), tables
+
     # ---------------------------------------------------------------
     @staticmethod
     def _bboxes(projs_np, n_lobes, border_vox, iso_shape):
@@ -279,14 +347,20 @@ class FastScanPipeline:
         border_vox = int(np.ceil(crop_border_mm / iso_spacing))
         lows, sizes, present = self._bboxes(projs_np, self.n_lobes,
                                             border_vox, iso_shape)
+        return self._finish(iso_scan, iso_lobe, lows, sizes, present,
+                            iso_shape, spacing, iso_spacing, in_shape,
+                            vessel_np, unpack=True)
+
+    def _run_stage2(self, iso_scan, iso_lobe, lows, sizes, present,
+                    iso_shape):
+        """Bucket planning + the batched lobe-chunk program -> (htp, ratio)."""
         # shared bucket: max lobe extent rounded up to a multiple of 16
         bucket = tuple(int(min(-(-int(sizes[:, ax].max()) // 16) * 16,
                                iso_shape[ax])) for ax in range(3))
-        # bucket window start: bbox low, clamped so the window fits
         starts = np.minimum(lows,
                             np.asarray(iso_shape) - np.asarray(bucket))
         starts = np.maximum(starts, 0).astype(np.int32)
-        offsets = lows - starts  # crop position inside the bucket window
+        offsets = lows - starts
 
         fw = forward_resize_weights(sizes, offsets, self.chunk_size, bucket)
         bw = backward_resize_weights(sizes, offsets, self.chunk_size, bucket)
@@ -299,13 +373,75 @@ class FastScanPipeline:
             [jnp.asarray(a) for a in bw[0]], [jnp.asarray(a) for a in bw[1]],
             [jnp.asarray(a) for a in bw[2]],
             jnp.asarray(present))
+        return htp, ratio
 
-        back_scales = tuple((spacing / iso_spacing).tolist())
+    def _finish(self, iso_scan, iso_lobe, lows, sizes, present, iso_shape,
+                spacing, iso_spacing, out_shape, vessel_np, unpack=True):
+        """Shared tail for uncropped iso grids: stage2 + full stage3."""
+        htp, ratio = self._run_stage2(iso_scan, iso_lobe, lows, sizes,
+                                      present, iso_shape)
+        back_scales = tuple((np.asarray(spacing) / iso_spacing).tolist())
         vessel = jnp.zeros(iso_shape, jnp.uint8) if vessel_np is None \
             else jnp.asarray(vessel_np)
-        stage3 = self._get_stage3(iso_shape, in_shape, back_scales)
+        stage3 = self._get_stage3(iso_shape, tuple(out_shape), back_scales)
         pred_p, post_p, th = stage3(htp, iso_scan, iso_lobe, vessel)
-        return {"pred": unpackbits_np(pred_p, in_shape),
-                "post": unpackbits_np(post_p, in_shape),
-                "heatmap_iso": htp, "threshold": float(th),
-                "ratios": np.asarray(ratio)}
+        out = {"pred_packed": pred_p, "post_packed": post_p,
+               "heatmap_iso": htp, "threshold": float(th),
+               "ratios": np.asarray(ratio), "out_shape": tuple(out_shape)}
+        if unpack:
+            out["pred"] = unpackbits_np(np.asarray(pred_p), out_shape)
+            out["post"] = unpackbits_np(np.asarray(post_p), out_shape)
+        return out
+
+    @staticmethod
+    def _bboxes_from_labels(iso_lobe_np, n_lobes, border_vox, iso_shape):
+        """Host bboxes straight from a host-resident label volume."""
+        lows = np.zeros((n_lobes, 3), np.int32)
+        sizes = np.ones((n_lobes, 3), np.int32)
+        present = np.zeros((n_lobes,), np.float32)
+        projs = [
+            np.stack([(iso_lobe_np == li + 1).any(
+                axis=tuple(i for i in range(3) if i != ax))
+                for li in range(n_lobes)])
+            for ax in range(3)]
+        return FastScanPipeline._bboxes(projs, n_lobes, border_vox, iso_shape)
+
+    def process_prepped(self, prep, vessel_np=None, crop_border_mm=5.0,
+                        unpack=True):
+        """Device path for host-prepared, lung-cropped scans
+        (data.hostprep.prep_scan): H2D moves only the 12-bit scan + 4-bit
+        lobe payloads of the lung window; bboxes come from the
+        host-resident iso lobe volume; the output mask is emitted packed
+        over the original-grid lung window and pasted into zeros on host
+        (the lesion mask is provably zero outside the window)."""
+        iso_shape = prep["iso_shape"]  # cropped iso grid
+        stage1p = self._get_stage1p(iso_shape, prep["n_voxels"])
+        iso_scan, iso_lobe = stage1p(jnp.asarray(prep["packed_scan"]),
+                                     jnp.asarray(prep["packed_lobe"]))
+        border_vox = int(np.ceil(crop_border_mm / prep["iso_spacing"]))
+        lows, sizes, present = self._bboxes_from_labels(
+            prep["iso_lobe_host"], self.n_lobes, border_vox, iso_shape)
+        htp, ratio = self._run_stage2(iso_scan, iso_lobe, lows, sizes,
+                                      present, iso_shape)
+
+        out_shape = tuple(prep["out_shape"])
+        scale = np.asarray(prep["spacing"]) / prep["iso_spacing"]
+        o_lo, o_shape, tables = self._back_gather_tables(
+            out_shape, scale, np.asarray(prep["crop_lo"]), iso_shape)
+        vessel = jnp.zeros(iso_shape, jnp.uint8) if vessel_np is None \
+            else jnp.asarray(vessel_np)
+        stage3c = self._get_stage3c(iso_shape, o_shape)
+        pred_p, post_p, th = stage3c(htp, iso_scan, iso_lobe, vessel,
+                                     *[jnp.asarray(t) for t in tables])
+        out = {"pred_packed": pred_p, "post_packed": post_p,
+               "heatmap_iso": htp, "threshold": float(th),
+               "ratios": np.asarray(ratio), "out_shape": out_shape,
+               "out_window": (tuple(o_lo), o_shape)}
+        if unpack:
+            for name, packed in (("pred", pred_p), ("post", post_p)):
+                full = np.zeros(out_shape, np.uint8)
+                win = unpackbits_np(np.asarray(packed), o_shape)
+                sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
+                full[sl] = win
+                out[name] = full
+        return out

@@ -1,0 +1,111 @@
+"""Native (C++/OpenMP) host runtime: build-on-demand ctypes bindings.
+
+The shared library is compiled from hostprep.cpp the first time it is
+needed and cached next to the source; import falls back cleanly (callers
+use the NumPy implementations) when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "hostprep.cpp")
+_SO = os.path.join(_DIR, "_hostprep.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           _SRC, "-o", _SO + ".tmp"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def _lib():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if (not os.path.exists(_SO)) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.resample_iso_linear_i16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_void_p]
+        lib.resample_iso_nearest_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.pack12_i16.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p]
+        lib.pack4_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_void_p]
+        lib.unpackbits_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p]
+        _LIB = lib
+        return lib
+
+
+class hostprep_native:
+    """Namespace matching data.hostprep's fast-path import contract."""
+
+    @staticmethod
+    def resample_iso_int16(scan, spacing, iso_spacing=1.0, fill=-2048):
+        scan = np.ascontiguousarray(scan, np.int16)
+        spacing = np.asarray(spacing, np.float64)
+        scales = iso_spacing / spacing
+        out_shape = tuple(int(np.ceil(s / sc))
+                          for s, sc in zip(scan.shape, scales))
+        out = np.empty(out_shape, np.int16)
+        _lib().resample_iso_linear_i16(
+            scan.ctypes.data, *[int(s) for s in scan.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(s) for s in out_shape], float(fill), out.ctypes.data)
+        return out, out_shape
+
+    @staticmethod
+    def resample_iso_labels(lobe, spacing, iso_spacing=1.0):
+        lobe = np.ascontiguousarray(lobe, np.uint8)
+        spacing = np.asarray(spacing, np.float64)
+        scales = iso_spacing / spacing
+        out_shape = tuple(int(np.ceil(s / sc))
+                          for s, sc in zip(lobe.shape, scales))
+        out = np.empty(out_shape, np.uint8)
+        _lib().resample_iso_nearest_u8(
+            lobe.ctypes.data, *[int(s) for s in lobe.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(s) for s in out_shape], out.ctypes.data)
+        return out
+
+    @staticmethod
+    def pack12(values_int16):
+        v = np.ascontiguousarray(values_int16, np.int16).reshape(-1)
+        n = v.shape[0]
+        out = np.empty(((n + 1) // 2) * 3, np.uint8)
+        _lib().pack12_i16(v.ctypes.data, n, out.ctypes.data)
+        return out, n
+
+    @staticmethod
+    def pack4(labels_u8):
+        l = np.ascontiguousarray(labels_u8, np.uint8).reshape(-1)
+        n = l.shape[0]
+        out = np.empty((n + 1) // 2, np.uint8)
+        _lib().pack4_u8(l.ctypes.data, n, out.ctypes.data)
+        return out, n
+
+    @staticmethod
+    def unpackbits(packed, shape):
+        p = np.ascontiguousarray(packed, np.uint8).reshape(-1)
+        out = np.empty(p.shape[0] * 8, np.uint8)
+        _lib().unpackbits_u8(p.ctypes.data, p.shape[0], out.ctypes.data)
+        return out[: int(np.prod(shape))].reshape(shape)

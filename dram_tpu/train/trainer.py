@@ -403,6 +403,11 @@ class LesionSegChunkTrain(JobRunner):
         batch_time, data_time, loss_record = \
             AverageMeter(), AverageMeter(), AverageMeter()
         freq = jnp.asarray(self.ctss_frequency_array)
+        profile_dir = getattr(self.settings, "PROFILE_DIR", None)
+        if profile_dir and self.epoch_n == getattr(self.settings,
+                                                   "PROFILE_EPOCH", 1):
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
         end = time.time()
         for step_idx, batch in enumerate(self.tr_loader):
             data_time.update(time.time() - end)
@@ -424,6 +429,9 @@ class LesionSegChunkTrain(JobRunner):
                     f"Time {batch_time.val:.3f} ({data_time.avg:.3f}) "
                     f"Loss {loss_record.val:.6f} ({loss_record.avg:.6f}), "
                     f"losses: {lv}")
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
         self.model_status = MODEL_STATUS.TRAINING
         return {"tr_loss": loss_record.avg, "tr_data_time": data_time.avg,
                 "tr_batch_time": batch_time.avg}
@@ -452,6 +460,7 @@ class LesionSegChunkTrain(JobRunner):
         fwd = self._eval_forward()
         pre = T.Compose(self.preprocessing())
         htp = np.zeros(scan.shape, np.float32)
+        epoch_debug_path = os.path.join(self.debug_path, str(self.epoch_n))
         for lobe_label in np.unique(lobe)[1:]:
             lobe_binary = lobe == lobe_label
             crop = find_crops_np(lobe_binary, meta["spacing"], 5)
@@ -463,6 +472,19 @@ class LesionSegChunkTrain(JobRunner):
                        "#lobe_reference": lobe_chunk.astype(np.uint8),
                        "meta": {"size": scan_chunk.shape,
                                 "spacing": meta["spacing"]}})
+            if self.trace:
+                # lobe-overlay trace tiles (reference job_runner.py:754-763)
+                from ..viz import draw_mask_tile_single_view
+                from ..core.ops import windowing_np
+                v_scan = np.asarray(ret["#image"], np.float32)
+                v_lobe = np.asarray(ret["#lobe_reference"])
+                draw_mask_tile_single_view(
+                    windowing_np(v_scan, from_span=(0, 1)),
+                    [[(v_lobe > 0).astype(np.uint8)]], v_lobe > 0, 5,
+                    os.path.join(epoch_debug_path,
+                                 f"{meta['uid']}_{lobe_label}"),
+                    colors=[(0, 0, 255)], thickness=[-1], coord_axis=0,
+                    alpha=0.3, titles=["lobe"])
             probs = fwd(self.params, self.batch_stats,
                         jnp.asarray(ret["#image"][None, ..., None],
                                     jnp.float32),

@@ -115,6 +115,36 @@ class TestFastPipelineParity:
         dice = 2 * inter / max(denom, 1)
         assert denom == 0 or dice > 0.92, f"dice {dice}"
 
+    def test_prepped_path_matches_device_path(self, model_and_params):
+        """Host-prep (iso resample + 12/4-bit packing) + device decode must
+        reproduce the all-device path (quantization: HU rounds to int)."""
+        from dram_tpu.data.hostprep import prep_scan, pack12, unpack12_np, \
+            pack4, unpack4_np
+        model, params, batch_stats = model_and_params
+        rng = np.random.default_rng(2)
+        scan, lobe, *_ = _synth_scan(rng, (36, 44, 44),
+                                     lesion_severity=[3, 4, 2, 5, 3])
+        spacing = (1.5, 0.9, 0.9)
+
+        # packing round-trips exactly
+        v = rng.integers(-2048, 2047, 999).astype(np.int16)
+        pk, n = pack12(v)
+        np.testing.assert_array_equal(unpack12_np(pk, n), v)
+        l = rng.integers(0, 6, 999).astype(np.uint8)
+        pk4, n4 = pack4(l)
+        np.testing.assert_array_equal(unpack4_np(pk4, n4), l)
+
+        fast = FastScanPipeline(model, params, batch_stats, chunk_size=CHUNK,
+                                windowing_span=(-1000, -300))
+        a = fast.process(scan, lobe, spacing)
+        prep = prep_scan(scan, lobe, spacing)
+        b = fast.process_prepped(prep)
+        assert b["pred"].shape == scan.shape
+        inter = np.logical_and(a["pred"] > 0, b["pred"] > 0).sum()
+        denom = (a["pred"] > 0).sum() + (b["pred"] > 0).sum()
+        assert denom == 0 or 2 * inter / denom > 0.98
+        np.testing.assert_allclose(a["ratios"], b["ratios"], atol=5e-3)
+
     def test_empty_lobe_handled(self, model_and_params):
         model, params, batch_stats = model_and_params
         rng = np.random.default_rng(1)

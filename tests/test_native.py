@@ -1,0 +1,70 @@
+"""C++ native host-prep kernels vs the NumPy implementations."""
+
+import numpy as np
+import pytest
+
+from dram_tpu.data import hostprep as hp_np
+
+try:
+    from dram_tpu.native import hostprep_native as hp_cc
+    _ = hp_cc.pack12(np.zeros(4, np.int16))  # force build
+    HAVE_NATIVE = True
+except Exception as e:  # pragma: no cover
+    HAVE_NATIVE = False
+
+needs_native = pytest.mark.skipif(not HAVE_NATIVE,
+                                  reason="native toolchain unavailable")
+
+
+@needs_native
+class TestNativeHostprep:
+    def test_pack12_matches_numpy(self, rng):
+        v = rng.integers(-3000, 3000, 1001).astype(np.int16)
+        a, na = hp_cc.pack12(v)
+        b, nb = hp_np.pack12(v)
+        assert na == nb
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(hp_np.unpack12_np(a, na),
+                                      np.clip(v, -2048, 2047))
+
+    def test_pack4_matches_numpy(self, rng):
+        l = rng.integers(0, 6, 999).astype(np.uint8)
+        a, _ = hp_cc.pack4(l)
+        b, _ = hp_np.pack4(l)
+        np.testing.assert_array_equal(a, b)
+
+    def test_linear_resample_matches_numpy(self, rng):
+        scan = rng.integers(-1000, 400, (40, 52, 48)).astype(np.int16)
+        spacing = (1.6, 0.8, 0.9)
+        a, shape_a = hp_cc.resample_iso_int16(scan, spacing, 1.0, -2048)
+        b_f, shape_b = hp_np.resample_iso_np(scan, spacing, 1.0, "linear",
+                                             fill_value=-2048)
+        assert shape_a == tuple(shape_b)
+        # int rounding: allow +/-1 HU from accumulation-order differences
+        diff = np.abs(a.astype(np.int32) - np.round(b_f).astype(np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.02
+
+    def test_nearest_resample_matches_numpy(self, rng):
+        lobe = rng.integers(0, 6, (40, 52, 48)).astype(np.uint8)
+        spacing = (1.6, 0.8, 0.9)
+        a = hp_cc.resample_iso_labels(lobe, spacing, 1.0)
+        b_f, _ = hp_np.resample_iso_np(lobe, spacing, 1.0, "nearest",
+                                       dtype=np.float32)
+        np.testing.assert_array_equal(a, b_f.astype(np.uint8))
+
+    def test_unpackbits_matches_numpy(self, rng):
+        packed = rng.integers(0, 256, 1000).astype(np.uint8)
+        a = hp_cc.unpackbits(packed, (100, 80))
+        want = np.unpackbits(packed)[:8000].reshape(100, 80)
+        np.testing.assert_array_equal(a, want)
+
+    def test_prep_scan_uses_native(self, rng):
+        scan = rng.integers(-1000, 400, (30, 40, 40)).astype(np.int16)
+        lobe = np.zeros((30, 40, 40), np.uint8)
+        lobe[5:25, 5:35, 5:35] = 1
+        prep = hp_np.prep_scan(scan, lobe, (1.5, 1.0, 1.0))
+        assert prep["iso_shape"] == (45, 40, 40)
+        assert prep["packed_scan"].dtype == np.uint8
+        got = hp_np.unpack12_np(prep["packed_scan"], prep["n_voxels"])
+        assert got.shape[0] == int(np.prod(prep["iso_shape"]))
