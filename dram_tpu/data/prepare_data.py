@@ -176,6 +176,70 @@ def make_synthetic_dataset(db_path, n_scans=4, size=(48, 64, 64), seed=0,
     return {"uids": uids, "n_chunks": n_chunks}
 
 
+def make_synthetic_copd_dataset(db_path, n_scans=4, size=(48, 64, 64),
+                                seed=0, emphysema_th=-950):
+    """Synthetic COPDGene layout: full scans at db_path/*.mha, lobes under
+    derived/seg-lobes-copdgene-approved_Lobes/mha/, meta/ctss.csv with CLE/
+    PSE severities, plus pre-extracted lobe chunks (images/lobes/lesions +
+    memo.csv with 'cle') for the chunk trainer."""
+    rng = np.random.default_rng(seed)
+    lobe_dir = os.path.join(db_path,
+                            "derived/seg-lobes-copdgene-approved_Lobes/mha")
+    meta_dir = os.path.join(db_path, "meta")
+    chunk_dirs = {d: os.path.join(db_path, d)
+                  for d in ("images", "lobes", "lesions")}
+    for d in [lobe_dir, meta_dir, *chunk_dirs.values()]:
+        os.makedirs(d, exist_ok=True)
+
+    ctss_rows, memo_rows = [], []
+    spacing = (1.5, 0.8, 0.8)
+    for i in range(n_scans):
+        uid = f"copd{i:03d}"
+        scan, lobe, lesion, vessel, sev = _synth_scan(rng, size)
+        # emphysema: carve low-HU pockets scaled by severity
+        scan = scan.copy()
+        scan[lesion > 0] = emphysema_th - 50
+        write_mha(os.path.join(db_path, f"{uid}.mha"), scan, spacing=spacing)
+        write_mha(os.path.join(lobe_dir, f"{uid}.mha"), lobe, spacing=spacing)
+        cle = int(max(sev))
+        ctss_rows.append({"SeriesInstanceUID": uid,
+                          "CT_Visual_Emph_Severity_P1": cle,
+                          "CT_Visual_Emph_Paraseptal_P1": int(min(sev))})
+        lung = lobe > 0
+        es = np.logical_and(scan < emphysema_th, lung).astype(np.uint8)
+        for li in range(1, 6):
+            m = lobe == li
+            if not m.any():
+                continue
+            sl = find_crops_np(m, spacing, 5)
+            chunk_uid = f"{uid}-{li}"
+            chunk = scan[sl].copy()
+            chunk[~m[sl]] = -2048
+            write_mha(os.path.join(chunk_dirs["images"], f"{chunk_uid}.mha"),
+                      chunk.astype(np.int16), spacing=spacing)
+            write_mha(os.path.join(chunk_dirs["lobes"], f"{chunk_uid}.mha"),
+                      m[sl].astype(np.uint8), spacing=spacing)
+            write_mha(os.path.join(chunk_dirs["lesions"], f"{chunk_uid}.mha"),
+                      es[sl].astype(np.uint8), spacing=spacing)
+            memo_rows.append({"uid": chunk_uid, "cle": sev[li - 1]})
+
+    with open(os.path.join(meta_dir, "ctss.csv"), "wt", newline="") as fp:
+        w = csv.DictWriter(fp, fieldnames=list(ctss_rows[0].keys()))
+        w.writeheader()
+        w.writerows(ctss_rows)
+    with open(os.path.join(db_path, "memo.csv"), "wt", newline="") as fp:
+        w = csv.DictWriter(fp, fieldnames=["uid", "cle"])
+        w.writeheader()
+        w.writerows(memo_rows)
+    # val/test splits over SeriesInstanceUID
+    for fname in ("val.csv", "test.csv"):
+        with open(os.path.join(db_path, fname), "wt", newline="") as fp:
+            w = csv.DictWriter(fp, fieldnames=list(ctss_rows[0].keys()))
+            w.writeheader()
+            w.writerows(ctss_rows[-max(1, n_scans // 4):])
+    return {"n_scans": n_scans, "n_chunks": len(memo_rows)}
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser(description="Lobe-chunk extraction")

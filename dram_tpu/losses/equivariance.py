@@ -54,6 +54,28 @@ def rescale3d_oneshot(x, size, is_reference):
     return resize3d(x, size, method=method, align_corners=True)
 
 
+def rotate3d_x_oneshot(x, theta):
+    """Batched rotation about the x (last spatial) axis by traced angle
+    `theta` (ref Rotate3DXOneShot, data_transforms.py:1186-1208): trilinear
+    resampling at rotated grid coordinates via map_coordinates."""
+    from jax.scipy.ndimage import map_coordinates
+    B, D, H, W, C = x.shape
+    dz = jnp.arange(D) - (D - 1) / 2.0
+    dy = jnp.arange(H) - (H - 1) / 2.0
+    dx = jnp.arange(W) - (W - 1) / 2.0
+    gz, gy, gx = jnp.meshgrid(dz, dy, dx, indexing="ij")
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    src_z = c * gz - s * gy + (D - 1) / 2.0
+    src_y = s * gz + c * gy + (H - 1) / 2.0
+    src_x = gx + (W - 1) / 2.0
+    coords = [src_z, src_y, src_x]
+
+    def one(vol):  # (D,H,W)
+        return map_coordinates(vol, coords, order=1, mode="constant")
+
+    return jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1))(x)
+
+
 class OneShotTransform:
     """A traced random composition: rescale? -> flip? -> rot90?.
 

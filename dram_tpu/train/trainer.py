@@ -201,6 +201,20 @@ class JobRunner:
         self.logger.info("init finished (dtype=%s, devices=%d)",
                          self.compute_dtype.__name__, jax.device_count())
 
+    def print_model_parameters(self, iteration):
+        """Per-parameter mean/std scalars to the summary writer
+        (reference job_runner.py:347-354; histograms when tensorboard
+        is available)."""
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        for path, p in flat:
+            name = "_".join(str(k.key) if hasattr(k, "key") else str(k)
+                            for k in path)
+            arr = np.asarray(p)
+            self.summary_writer.add_scalar(f"mean_{name}", float(arr.mean()),
+                                           iteration)
+            self.summary_writer.add_scalar(f"std_{name}", float(arr.std()),
+                                           iteration)
+
     def _set_lr(self, lr):
         """Write the scheduler lr into the injected optax hyperparams."""
         try:
@@ -366,12 +380,22 @@ class LesionSegChunkTrain(JobRunner):
         return T.Compose(self.val_preprocessing())
 
     def reset_data(self):
+        """Per-epoch dataset + balanced-sampler rebuild. Dataset and sampler
+        classes are config-selectable (TRAIN_DATASET_CLS / SAMPLER_CLS) so
+        the COPDGene emphysema-subtyping workload runs through the same
+        trainer (reference used separate hardcoded wiring)."""
         s = self.settings
-        tr_uids = RadboudCOVIDLobeVesselChunk.get_series_uids(
-            os.path.join(s.DB_PATH, "wss_chunk", "memo.csv"))
-        tr_dataset = RadboudCOVIDLobeVesselChunk(
+        ds_cls = get_callable_by_name(getattr(
+            s, "TRAIN_DATASET_CLS",
+            "dram_tpu.data.datasets.RadboudCOVIDLobeVesselChunk"))
+        sampler_cls = get_callable_by_name(getattr(
+            s, "SAMPLER_CLS", "dram_tpu.data.sampler.LobeChunkCTSSSampler"))
+        memo_csv = getattr(s, "TRAIN_MEMO_CSV",
+                           os.path.join(s.DB_PATH, "wss_chunk", "memo.csv"))
+        tr_uids = ds_cls.get_series_uids(memo_csv)
+        tr_dataset = ds_cls(
             s.DB_PATH, tr_uids, transforms=self.get_data_transforms(True))
-        sampler = LobeChunkCTSSSampler(
+        sampler = sampler_cls(
             self.logger, tr_dataset, s.TRAIN_BATCH_SIZE,
             balance_label_count=s.BALANCED_LABEL_COUNT)
         self.ctss_frequency_map = sampler.ctss_frequency_map
@@ -382,15 +406,19 @@ class LesionSegChunkTrain(JobRunner):
             drop_last=True, num_workers=getattr(s, "NUM_WORKERS", 4) or 0)
         self.num_steps = len(self.tr_loader)
 
-        self.val_dataset = RadboudCOVID(
-            s.DB_PATH, RadboudCOVID.get_series_uids(s.VALID_CSV),
+        val_cls = get_callable_by_name(getattr(
+            s, "VAL_DATASET_CLS", "dram_tpu.data.datasets.RadboudCOVID"))
+        self.val_dataset = val_cls(
+            s.DB_PATH, val_cls.get_series_uids(s.VALID_CSV),
             transforms=self.get_data_transforms(False), keep_sorted=True)
 
     # -- train ---------------------------------------------------------
     def _device_batch(self, batch):
         images = batch["#image"][..., None].astype(np.float32)
         lobes = batch["#lobe_reference"][..., None].astype(np.float32)
-        lesions = batch["#pseudo_lesion_reference"][..., None].astype(np.float32)
+        lesion_key = "#pseudo_lesion_reference" \
+            if "#pseudo_lesion_reference" in batch else "#lesion_reference"
+        lesions = batch[lesion_key][..., None].astype(np.float32)
         meta = batch["meta"]
         key = "ctss" if "ctss" in meta else "cle"
         ctss = np.asarray([int(float(c)) for c in meta[key]], np.int32)

@@ -197,3 +197,67 @@ class Timer:
 
     def elapsed(self):
         return time.time() - self.t0
+
+
+class PD_Stats:
+    """Pandas pickle logger (reference utils.py:72-95)."""
+
+    def __init__(self, path, columns):
+        import pandas as pd
+        self.path = path
+        if os.path.isfile(path):
+            self.stats = pd.read_pickle(path)
+            assert list(self.stats.columns) == list(columns)
+        else:
+            self.stats = pd.DataFrame(columns=columns)
+
+    def update(self, row, save=True):
+        self.stats.loc[len(self.stats.index)] = row
+        if save:
+            self.stats.to_pickle(self.path)
+
+
+def expand_dims_np(a, expected_dim):
+    """Left-pad singleton dims until `expected_dim` (reference utils.py:127)."""
+    while a.ndim < expected_dim:
+        a = a[None]
+    return a
+
+
+def squeeze_dims_np(a, expected_dim, squeeze_start_index=0):
+    """Squeeze leading singleton dims down to `expected_dim`."""
+    while a.ndim > expected_dim:
+        a = a.squeeze(squeeze_start_index)
+    return a
+
+
+def count_params(tree):
+    """Total parameter count of a pytree (replaces the reference's
+    commented-out ptflops MAC counter, job_runner.py:370-377)."""
+    import numpy as np
+    import jax
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(tree)))
+
+
+def estimate_conv3d_macs(model_cfg, spatial_size):
+    """Rough MAC estimate for the DC3D channel plan at a given chunk size:
+    sum over conv layers of out_vox * k^3 * c_in * c_out."""
+    import numpy as np
+    n = model_cfg["n_layers"]
+    base = model_cfg["base_ch_list"]
+    end = model_cfg["end_ch_list"]
+    in_ch = model_cfg["in_ch_list"]
+    macs = 0
+    size = np.asarray(spatial_size, np.int64)
+    for i in range(n):  # encoder blocks at full->pooled sizes
+        vox = int(np.prod(size))
+        macs += vox * 27 * (in_ch[i] * base[i] + base[i] * end[i])
+        size = size // 2
+    vox = int(np.prod(size))
+    macs += vox * 27 * (in_ch[n] * base[n] + base[n] * end[n])
+    for i in range(n):  # decoder
+        size = size * 2
+        vox = int(np.prod(size))
+        li = n + 1 + i
+        macs += vox * 27 * (in_ch[li] * base[li] + base[li] * end[li])
+    return macs
