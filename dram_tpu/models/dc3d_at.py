@@ -54,6 +54,7 @@ class DC3DATGeneric(nn.Module):
     train: bool = True
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas_attention: bool = False
 
     def setup(self):
         self.backbone = DC3D(
@@ -78,7 +79,9 @@ class DC3DATGeneric(nn.Module):
             non_local_iter=self.at_g_iter, k_size=self.at_k_size,
             merge_type=self.at_merge_type, self_loop=self.at_self_loop,
             connectivity=self.at_connectivity, p_enc_dim=self.at_p_enc_dim,
-            dtype=self.dtype, name="attention_module")
+            dtype=self.dtype,
+            use_pallas=self.use_pallas_attention and not self.train,
+            name="attention_module")
 
     def apply_attention(self, dense_out, attention_features):
         raw_size = dense_out.shape[1:4]

@@ -78,15 +78,23 @@ def _shift(x, off):
     return jnp.roll(x, shift=(-off[0], -off[1], -off[2]), axis=(1, 2, 3))
 
 
-def _valid_masks(spatial_size, offsets):
-    """(D,H,W,K) validity: neighbour i+off inside the volume."""
+def _valid_masks(spatial_size, offsets, z0=0, z_extent=None):
+    """(D,H,W,K) validity: neighbour i+off inside the (global) volume.
+
+    For spatially sharded execution the block's z axis is a window of a
+    larger volume: `z0` is the global index of local z=0 and `z_extent`
+    the global depth, so true volume boundaries (not shard seams) decide
+    validity.
+    """
     D, H, W = spatial_size
-    iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
+    if z_extent is None:
+        z_extent = D
+    iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0) + z0
     iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
     ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
     masks = []
     for dz, dy, dx in offsets:
-        m = ((iz + dz >= 0) & (iz + dz < D) &
+        m = ((iz + dz >= 0) & (iz + dz < z_extent) &
              (iy + dy >= 0) & (iy + dy < H) &
              (ix + dx >= 0) & (ix + dx < W))
         masks.append(m)
@@ -121,6 +129,9 @@ class PCM(nn.Module):
     residual: bool = False
     p_enc_dim: int = 32
     dtype: Any = jnp.float32
+    # fused Pallas kernel for the shipped merge type; inference-only
+    # (no custom VJP yet) — training always uses the XLA path
+    use_pallas: bool = False
 
     def _dense(self, feats, in_feats, name):
         return nn.Dense(feats,
@@ -171,11 +182,15 @@ class PCM(nn.Module):
         raise NotImplementedError(f"merge type {mt}")
 
     @nn.compact
-    def __call__(self, cam, f):
-        """cam: (B, D, H, W, g_ch); f: (B, D, H, W, C) -> refined cam."""
+    def __call__(self, cam, f, z0=0, z_extent=None):
+        """cam: (B, D, H, W, g_ch); f: (B, D, H, W, C) -> refined cam.
+
+        z0/z_extent place the block inside a larger volume for spatially
+        sharded (context-parallel) execution; defaults mean "whole volume".
+        """
         spatial = f.shape[1:4]
         offsets = stencil_offsets(self.k_size, self.connectivity, self.self_loop)
-        valid = _valid_masks(spatial, offsets).astype(cam.dtype)  # (D,H,W,K)
+        valid = _valid_masks(spatial, offsets, z0, z_extent).astype(cam.dtype)
         deg = jnp.sum(valid, axis=-1)  # (D,H,W)
 
         in_ch = f.shape[-1]
@@ -184,6 +199,22 @@ class PCM(nn.Module):
             phi = self._dense(self.f_dim, in_ch, "phi")(f)
         else:
             theta, phi = f, f
+
+        if (self.use_pallas and self.merge_type == "scaled_dot_product_relu"
+                and self.p_enc_dim == 0 and z0 == 0 and z_extent is None):
+            from ..core.pallas.window_attention import stencil_attention_pallas
+            G = self._dense(self.g_dim, self.g_ch, "G") \
+                if self.g_dim > 0 else None
+            r = self._dense(self.g_ch, self.g_dim, "r") \
+                if self.g_dim > 0 else None
+            for _ in range(self.non_local_iter):
+                g_cam = G(cam) if G is not None else cam
+                out = stencil_attention_pallas(
+                    theta.astype(jnp.float32), phi.astype(jnp.float32),
+                    g_cam.astype(jnp.float32), offsets)
+                refined = r(out) if r is not None else out
+                cam = refined + cam if self.residual else refined
+            return cam
 
         geo_theta = geo_phi = None
         if self.p_enc_dim > 0:
@@ -244,3 +275,46 @@ class PCM(nn.Module):
             refined = r(out) if r is not None else out
             cam = refined + cam if self.residual else refined
         return cam
+
+
+def pcm_sharded(pcm, variables, cam, f, mesh, axis_name="space"):
+    """Context-parallel PCM: shard the D axis of (B,D,H,W,C) volumes over
+    `mesh`, exchange 1-ring halos of cam and features per iteration with
+    ppermute, and keep volume-boundary semantics exact by passing global z
+    coordinates into the validity mask. Numerically identical to the
+    single-device forward (tests/test_mesh.py).
+
+    This is the TPU scaling story for the reference's DGL module
+    (SURVEY.md §2.7): stencil locality (k<=3) means 1-wide halos replace
+    any ring/all-to-all pass.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if pcm.p_enc_dim > 0:
+        raise NotImplementedError(
+            "sharded PCM with positional encodings needs global-coordinate "
+            "geo features")
+    halo = pcm.k_size // 2
+    D = cam.shape[1]
+    n = mesh.devices.size
+    assert D % n == 0, "D axis must divide evenly over the mesh"
+    pcm_single = pcm.clone(non_local_iter=1)
+    spec = P(None, axis_name, None, None, None)
+
+    def local(cam_blk, f_blk):
+        from ..core.mesh import halo_exchange
+        idx = jax.lax.axis_index(axis_name)
+        d_local = cam_blk.shape[1]
+        z0 = idx * d_local - halo
+        f_ext = halo_exchange(f_blk, axis_name, halo, axis=1)
+        out = cam_blk
+        for _ in range(pcm.non_local_iter):
+            cam_ext = halo_exchange(out, axis_name, halo, axis=1)
+            ref = pcm_single.apply(variables, cam_ext, f_ext,
+                                   z0=z0, z_extent=D)
+            out = jax.lax.slice_in_dim(ref, halo, halo + d_local, axis=1)
+        return out
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    return fn(cam, f)
