@@ -152,6 +152,28 @@ def write_mha(path, array, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
         fp.write(payload)
 
 
+def resample_mha_file(input_filename, output_filename, factor=2,
+                      interpolator="linear"):
+    """File -> file resampling by a spacing factor (reference
+    utils.py:387-411 resample_image): factor > 1 downsamples. Uses the
+    native C++ resampler when available, else the NumPy separable path."""
+    d = read_mha(input_filename)
+    spacing = np.asarray(d["spacing"], np.float64)
+    new_spacing = spacing * factor
+    scales = new_spacing / spacing
+    out_size = tuple(int(np.ceil(s / sc))
+                     for s, sc in zip(d["array"].shape, scales))
+    from ..core.resample import itk_resample3d_np
+    arr = itk_resample3d_np(d["array"].astype(np.float32), out_size,
+                            scales=scales.tolist(),
+                            method=interpolator, fill_value=0.0)
+    if d["array"].dtype != np.float32:
+        arr = np.round(arr).astype(d["array"].dtype)
+    write_mha(output_filename, arr, spacing=tuple(new_spacing),
+              origin=d["origin"], direction=d["direction"])
+    return output_filename
+
+
 def write_array_to_mha_itk(target_path, arrs, names, type=np.int16,
                            origin=(0.0, 0.0, 0.0),
                            direction=None,
