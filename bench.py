@@ -30,6 +30,7 @@ def build_pipeline(chunk=(80, 80, 80), at=(64, 64, 64), dtype="bfloat16"):
     from dram_tpu.models import DC3DATGeneric
 
     model = DC3DATGeneric(train=False, at_spatial_size=at,
+                          use_pallas_attention=jax.default_backend() == "tpu",
                           dtype=jnp.bfloat16 if dtype == "bfloat16"
                           else jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),

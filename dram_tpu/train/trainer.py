@@ -161,7 +161,15 @@ class JobRunner:
             else jnp.float32
         self.model = model_cls(**model_cfg, train=True,
                                dtype=self.compute_dtype)
-        self.model_eval = model_cls(**model_cfg, train=False,
+        eval_kwargs = dict(model_cfg)
+        if "use_pallas_attention" in getattr(model_cls,
+                                             "__dataclass_fields__", {}):
+            # fused stencil-attention kernel for eval (TPU only; the CPU
+            # backend runs the XLA path)
+            eval_kwargs["use_pallas_attention"] = bool(
+                getattr(s, "USE_PALLAS_ATTENTION",
+                        jax.default_backend() == "tpu"))
+        self.model_eval = model_cls(**eval_kwargs, train=False,
                                     dtype=self.compute_dtype)
 
         init_cfg = dict(getattr(s, "INITIALIZER", {"method": "models.HeNorm"}))
