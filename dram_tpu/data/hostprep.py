@@ -100,7 +100,7 @@ def lung_crop(iso_lobe, border_vox=8, multiple=32):
 
 
 def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
-              pad_value=-2048, crop_to_lung=True):
+              pad_value=-2048, crop_to_lung=True, vessel_u8=None):
     """Full host prep: iso resample + lung crop + pack. Returns a dict
     consumed by FastScanPipeline.process_prepped. Only the lung bounding
     box (plus border) crosses the wire: the lesion mask is provably zero
@@ -121,6 +121,16 @@ def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
                                         "nearest", dtype=np.float32)
         iso_lobe = iso_lobe_f.astype(np.uint8)
 
+    iso_vessel = None
+    if vessel_u8 is not None and np.any(vessel_u8):
+        if hp is not None:
+            iso_vessel = hp.resample_iso_labels(vessel_u8, spacing,
+                                                iso_spacing)
+        else:
+            v_f, _ = resample_iso_np(vessel_u8, spacing, iso_spacing,
+                                     "nearest", dtype=np.float32)
+            iso_vessel = v_f.astype(np.uint8)
+
     full_iso_shape = tuple(iso_shape)
     crop_lo = np.zeros(3, np.int64)
     if crop_to_lung:
@@ -129,6 +139,8 @@ def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
                    for l, s in zip(crop_lo, crop_shape))
         iso_scan = np.ascontiguousarray(iso_scan[sl])
         iso_lobe = np.ascontiguousarray(iso_lobe[sl])
+        if iso_vessel is not None:
+            iso_vessel = np.ascontiguousarray(iso_vessel[sl])
         iso_shape = crop_shape
 
     if hp is not None:
@@ -140,6 +152,7 @@ def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
     return {"packed_scan": packed_scan, "packed_lobe": packed_lobe,
             "iso_shape": tuple(iso_shape), "n_voxels": n,
             "iso_lobe_host": iso_lobe,
+            "iso_vessel_host": iso_vessel,
             "full_iso_shape": full_iso_shape,
             "crop_lo": crop_lo.astype(np.int64),
             "spacing": tuple(np.asarray(spacing, np.float64).tolist()),

@@ -54,7 +54,7 @@ class LesionSegTest:
     """Restartable batch inference runner."""
 
     def __init__(self, settings_module=None, scan_path=None, lobe_path=None,
-                 output_path=None, task_name="test"):
+                 output_path=None, task_name="test", use_fast_path=None):
         from ..train.trainer import JobRunner
 
         # reuse the runner scaffolding (logging/dirs/init/reload)
@@ -67,7 +67,12 @@ class LesionSegTest:
         self.task_name = task_name
 
         s = self.settings
-        resample_t = T.Compose([
+        if use_fast_path is None:
+            use_fast_path = bool(getattr(s, "USE_FAST_INFERENCE", True))
+        self.use_fast_path = use_fast_path
+        # fast path: raw grids in, the device pipeline handles the iso
+        # resample; slow path: reference-shaped host resample up front
+        resample_t = None if use_fast_path else T.Compose([
             T.Resample(mode="fixed_spacing", factor=s.TEST_RESAMPLE_SPACING,
                        size=s.RESAMPLE_SIZE)])
         if scan_path is not None:
@@ -95,6 +100,48 @@ class LesionSegTest:
             "iteration": self._runner.current_iteration,
             "metrics": dict(self._runner.model_metrics_save_dict)}
         self._fwd = None
+        self._fast_pipe = None
+
+    def _fast(self):
+        if self._fast_pipe is None:
+            from .fast import FastScanPipeline
+            s = self.settings
+            self._fast_pipe = FastScanPipeline(
+                self.model_eval, self.params, self.batch_stats,
+                chunk_size=tuple(s.RESAMPLE_SIZE),
+                windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX),
+                pad_value=float(s.PAD_VALUE))
+        return self._fast_pipe
+
+    def process_scan_fast(self, scan_data):
+        """Fast path: host prep (C++ iso resample + wire packing) + the
+        batched all-device pipeline; outputs arrive at the original grid."""
+        from ..data.hostprep import prep_scan
+        s = self.settings
+        meta = scan_data["meta"]
+        vessel = scan_data.get("#vessel_reference")
+        prep = prep_scan(scan_data["#image"].astype(np.int16),
+                         scan_data["#lobe_reference"], meta["spacing"],
+                         iso_spacing=float(s.TEST_RESAMPLE_SPACING),
+                         pad_value=float(s.PAD_VALUE), vessel_u8=vessel)
+        out = self._fast().process_prepped(prep, want_heatmap=True)
+        cls_preds, cls_targets = [], []
+        for li in range(1, 6):
+            target = None
+            if self.has_references and "patient_meta" in meta:
+                col = RadboudCOVID.metric_k_mapping[li]
+                target = int(float(meta["patient_meta"].get(col, 0)))
+            if out["present"][li - 1] < 1:
+                if target is not None:
+                    cls_preds.append(target)
+                    cls_targets.append(target)
+                continue
+            cls_preds.append(ratio_to_label([out["ratios"][li - 1]])[0])
+            if target is not None:
+                cls_targets.append(target)
+        return {"pred": out["pred"], "post": out["post"],
+                "heatmap": out["heatmap_u8"].astype(np.float32) / 255.0,
+                "cls_preds": cls_preds, "cls_targets": cls_targets}
 
     # ------------------------------------------------------------------
     def preprocessing(self):
@@ -278,33 +325,50 @@ class LesionSegTest:
                 start = time.time()
                 scan_data = self.test_set[scan_idx]
                 meta = scan_data["meta"]
-                out = self.process_scan(scan_data)
+                if self.use_fast_path:
+                    out = self.process_scan_fast(scan_data)
+                else:
+                    out = self.process_scan(scan_data)
                 all_cls_preds.extend(out["cls_preds"])
                 all_cls_targets.extend(out["cls_targets"])
 
-                # resample everything back to the original grid
-                spacing = list(np.asarray(meta["spacing"]).flatten())
-                orig_spacing = list(np.asarray(meta["original_spacing"]).flatten())
-                orig_size = [int(v) for v in
-                             np.asarray(meta["original_size"]).flatten()]
-                pred, _ = T.resample_array(out["pred"], spacing, orig_spacing,
-                                           orig_size, "nearest")
-                post, _ = T.resample_array(out["post"], spacing, orig_spacing,
-                                           orig_size, "nearest")
-                heat, _ = T.resample_array(out["heatmap"], spacing,
-                                           orig_spacing, orig_size, "linear")
-                scan_b, _ = T.resample_array(
-                    scan_data["#image"].astype(np.float32), spacing,
-                    orig_spacing, orig_size, "linear")
-                pred = pred.astype(np.uint8)
-                post = post.astype(np.uint8)
+                if self.use_fast_path:
+                    # fast-path outputs are already at the original grid
+                    pred = out["pred"].astype(np.uint8)
+                    post = out["post"].astype(np.uint8)
+                    heat = out["heatmap"]
+                    scan_b = scan_data["#image"].astype(np.float32)
+                else:
+                    # resample everything back to the original grid
+                    spacing = list(np.asarray(meta["spacing"]).flatten())
+                    orig_spacing = list(
+                        np.asarray(meta["original_spacing"]).flatten())
+                    orig_size = [int(v) for v in
+                                 np.asarray(meta["original_size"]).flatten()]
+                    pred, _ = T.resample_array(out["pred"], spacing,
+                                               orig_spacing, orig_size,
+                                               "nearest")
+                    post, _ = T.resample_array(out["post"], spacing,
+                                               orig_spacing, orig_size,
+                                               "nearest")
+                    heat, _ = T.resample_array(out["heatmap"], spacing,
+                                               orig_spacing, orig_size,
+                                               "linear")
+                    scan_b, _ = T.resample_array(
+                        scan_data["#image"].astype(np.float32), spacing,
+                        orig_spacing, orig_size, "linear")
+                    pred = pred.astype(np.uint8)
+                    post = post.astype(np.uint8)
 
                 row = {"uid": uid}
                 ref = None
                 if self.has_references and "#lesion_reference" in scan_data:
-                    lesion, _ = T.resample_array(
-                        scan_data["#lesion_reference"], spacing, orig_spacing,
-                        orig_size, "nearest")
+                    if self.use_fast_path:
+                        lesion = scan_data["#lesion_reference"]
+                    else:
+                        lesion, _ = T.resample_array(
+                            scan_data["#lesion_reference"], spacing,
+                            orig_spacing, orig_size, "nearest")
                     ref = (lesion > 0).astype(np.uint8)
                     iou, dice = _np_metrics(pred > 0, ref > 0)
                     iou_p, dice_p = _np_metrics(post > 0, ref > 0)

@@ -261,8 +261,9 @@ class FastScanPipeline:
         return stage3
 
     # -- stage 3c: crop-aware variant (host-prepped lung-cropped grids) --
-    def _get_stage3c(self, iso_crop_shape, out_crop_shape):
-        key = ("crop", iso_crop_shape, out_crop_shape)
+    def _get_stage3c(self, iso_crop_shape, out_crop_shape,
+                     want_heatmap=False):
+        key = ("crop", iso_crop_shape, out_crop_shape, want_heatmap)
         if key in self._stage3:
             return self._stage3[key]
         span = self.windowing_span
@@ -281,8 +282,12 @@ class FastScanPipeline:
                 x = jnp.take(x, gy, axis=1)
                 return jnp.take(x, gx, axis=2)
 
-            return packbits_u8(back(pred) > 0.5), \
-                packbits_u8(back(post) > 0.5), th
+            outs = (packbits_u8(back(pred) > 0.5),
+                    packbits_u8(back(post) > 0.5), th)
+            if want_heatmap:
+                heat_u8 = jnp.clip(back(htp) * 255.0, 0, 255).astype(jnp.uint8)
+                outs = outs + (heat_u8,)
+            return outs
 
         self._stage3[key] = stage3c
         return stage3c
@@ -407,7 +412,7 @@ class FastScanPipeline:
         return FastScanPipeline._bboxes(projs, n_lobes, border_vox, iso_shape)
 
     def process_prepped(self, prep, vessel_np=None, crop_border_mm=5.0,
-                        unpack=True):
+                        unpack=True, want_heatmap=False):
         """Device path for host-prepared, lung-cropped scans
         (data.hostprep.prep_scan): H2D moves only the 12-bit scan + 4-bit
         lobe payloads of the lung window; bboxes come from the
@@ -428,20 +433,27 @@ class FastScanPipeline:
         scale = np.asarray(prep["spacing"]) / prep["iso_spacing"]
         o_lo, o_shape, tables = self._back_gather_tables(
             out_shape, scale, np.asarray(prep["crop_lo"]), iso_shape)
+        if vessel_np is None:
+            vessel_np = prep.get("iso_vessel_host")
         vessel = jnp.zeros(iso_shape, jnp.uint8) if vessel_np is None \
             else jnp.asarray(vessel_np)
-        stage3c = self._get_stage3c(iso_shape, o_shape)
-        pred_p, post_p, th = stage3c(htp, iso_scan, iso_lobe, vessel,
-                                     *[jnp.asarray(t) for t in tables])
+        stage3c = self._get_stage3c(iso_shape, o_shape, want_heatmap)
+        res = stage3c(htp, iso_scan, iso_lobe, vessel,
+                      *[jnp.asarray(t) for t in tables])
+        pred_p, post_p, th = res[:3]
         out = {"pred_packed": pred_p, "post_packed": post_p,
                "heatmap_iso": htp, "threshold": float(th),
-               "ratios": np.asarray(ratio), "out_shape": out_shape,
+               "ratios": np.asarray(ratio), "present": present,
+               "out_shape": out_shape,
                "out_window": (tuple(o_lo), o_shape)}
+        sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
+        if want_heatmap:
+            heat = np.zeros(out_shape, np.uint8)
+            heat[sl] = np.asarray(res[3])
+            out["heatmap_u8"] = heat
         if unpack:
             for name, packed in (("pred", pred_p), ("post", post_p)):
                 full = np.zeros(out_shape, np.uint8)
-                win = unpackbits_np(np.asarray(packed), o_shape)
-                sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
-                full[sl] = win
+                full[sl] = unpackbits_np(np.asarray(packed), o_shape)
                 out[name] = full
         return out

@@ -80,12 +80,14 @@ def trained(tmp_path_factory):
 
 
 class TestLesionSegTest:
-    def test_scored_split_end_to_end(self, trained, tmp_path):
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_scored_split_end_to_end(self, trained, tmp_path, fast):
         db, out, sfile = trained
         from dram_tpu.infer.engine import LesionSegTest
         settings = Settings(sfile)
-        outdir = str(tmp_path / "results")
-        eng = LesionSegTest(settings_module=settings, output_path=outdir)
+        outdir = str(tmp_path / f"results_{fast}")
+        eng = LesionSegTest(settings_module=settings, output_path=outdir,
+                            use_fast_path=fast)
         records = eng.run()
 
         taskdir = os.path.join(outdir, "test")
@@ -141,7 +143,7 @@ class TestLesionSegTest:
         settings = Settings(sfile)
         outdir = str(tmp_path / "errors")
         eng = LesionSegTest(settings_module=settings, output_path=outdir)
-        orig = eng.process_scan
+        orig = eng.process_scan_fast if eng.use_fast_path else eng.process_scan
         calls = {"n": 0}
 
         def flaky(scan_data):
@@ -150,6 +152,8 @@ class TestLesionSegTest:
                 raise RuntimeError("boom")
             return orig(scan_data)
 
-        monkeypatch.setattr(eng, "process_scan", flaky)
+        monkeypatch.setattr(
+            eng, "process_scan_fast" if eng.use_fast_path else "process_scan",
+            flaky)
         records = eng.run()  # must not raise
         assert calls["n"] == len(records) + 1 or calls["n"] >= 1
