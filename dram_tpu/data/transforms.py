@@ -90,7 +90,21 @@ def resample_array(v, spacing, require_spacing=None, new_size=None,
     if new_size is None:
         new_size = np.ceil(np.asarray(v.shape) * spacing / require_spacing).astype(int)
     scales = (require_spacing / spacing).tolist()
-    out = itk_resample3d_np(v, tuple(int(s) for s in new_size), scales=scales,
+    out_shape = tuple(int(s) for s in new_size)
+    # C++/OpenMP fast path (the hot loop of the training data pipeline)
+    try:
+        from ..native import hostprep_native as hp
+        if interpolator == "linear":
+            out = hp.resample_scales_f32(np.asarray(v, np.float32), scales,
+                                         out_shape, fill_value)
+            return out, tuple(float(s) for s in require_spacing)
+        if np.asarray(v).dtype in (np.uint8, np.bool_):
+            out = hp.resample_scales_u8_nearest(
+                np.asarray(v).astype(np.uint8), scales, out_shape)
+            return out, tuple(float(s) for s in require_spacing)
+    except Exception:
+        pass
+    out = itk_resample3d_np(v, out_shape, scales=scales,
                             method=interpolator, fill_value=fill_value)
     return out, tuple(float(s) for s in require_spacing)
 

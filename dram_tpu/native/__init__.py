@@ -42,6 +42,11 @@ def _lib():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_void_p]
+        lib.resample_iso_linear_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_void_p]
         lib.resample_iso_nearest_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -85,6 +90,27 @@ class hostprep_native:
             lobe.ctypes.data, *[int(s) for s in lobe.shape],
             float(scales[0]), float(scales[1]), float(scales[2]),
             *[int(s) for s in out_shape], out.ctypes.data)
+        return out
+
+    @staticmethod
+    def resample_scales_f32(vol, scales, out_shape, fill=0.0):
+        """Generic per-axis-scale trilinear resample, float32."""
+        vol = np.ascontiguousarray(vol, np.float32)
+        out = np.empty(tuple(int(s) for s in out_shape), np.float32)
+        _lib().resample_iso_linear_f32(
+            vol.ctypes.data, *[int(s) for s in vol.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(s) for s in out.shape], float(fill), out.ctypes.data)
+        return out
+
+    @staticmethod
+    def resample_scales_u8_nearest(vol, scales, out_shape):
+        vol = np.ascontiguousarray(vol, np.uint8)
+        out = np.empty(tuple(int(s) for s in out_shape), np.uint8)
+        _lib().resample_iso_nearest_u8(
+            vol.ctypes.data, *[int(s) for s in vol.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(s) for s in out.shape], out.ctypes.data)
         return out
 
     @staticmethod

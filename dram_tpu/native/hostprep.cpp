@@ -106,6 +106,54 @@ void resample_iso_linear_i16(const int16_t* in, int D, int H, int W,
     }
 }
 
+// Trilinear resample float32 -> float32 (windowed images in the host
+// transform pipeline), fill for outside points.
+void resample_iso_linear_f32(const float* in, int D, int H, int W,
+                             double sz, double sy, double sx,
+                             int oD, int oH, int oW,
+                             double fill, float* out) {
+    AxisTable tz = make_axis(D, oD, sz, false);
+    AxisTable ty = make_axis(H, oH, sy, false);
+    AxisTable tx = make_axis(W, oW, sx, false);
+    const int64_t HW = (int64_t)H * W;
+    const int64_t oHW = (int64_t)oH * oW;
+#pragma omp parallel for schedule(static)
+    for (int z = 0; z < oD; ++z) {
+        const int z0 = tz.lo[z], z1 = tz.hi[z];
+        const float fz = tz.frac[z];
+        float* orow = out + (int64_t)z * oHW;
+        if (!tz.valid[z]) {
+            for (int64_t i = 0; i < oHW; ++i) orow[i] = (float)fill;
+            continue;
+        }
+        for (int y = 0; y < oH; ++y) {
+            const int y0 = ty.lo[y], y1 = ty.hi[y];
+            const float fy = ty.frac[y];
+            const bool vy = ty.valid[y];
+            const float* p00 = in + (int64_t)z0 * HW + (int64_t)y0 * W;
+            const float* p01 = in + (int64_t)z0 * HW + (int64_t)y1 * W;
+            const float* p10 = in + (int64_t)z1 * HW + (int64_t)y0 * W;
+            const float* p11 = in + (int64_t)z1 * HW + (int64_t)y1 * W;
+            float* op = orow + (int64_t)y * oW;
+            for (int x = 0; x < oW; ++x) {
+                if (!vy || !tx.valid[x]) {
+                    op[x] = (float)fill;
+                    continue;
+                }
+                const int x0 = tx.lo[x], x1 = tx.hi[x];
+                const float fx = tx.frac[x];
+                const float v00 = p00[x0] + fx * (p00[x1] - p00[x0]);
+                const float v01 = p01[x0] + fx * (p01[x1] - p01[x0]);
+                const float v10 = p10[x0] + fx * (p10[x1] - p10[x0]);
+                const float v11 = p11[x0] + fx * (p11[x1] - p11[x0]);
+                const float v0 = v00 + fy * (v01 - v00);
+                const float v1 = v10 + fy * (v11 - v10);
+                op[x] = v0 + fz * (v1 - v0);
+            }
+        }
+    }
+}
+
 // Nearest resample uint8 -> uint8 (labels), 0 outside.
 void resample_iso_nearest_u8(const uint8_t* in, int D, int H, int W,
                              double sz, double sy, double sx,
