@@ -15,8 +15,6 @@ layer that replaces nothing and enables everything:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +78,60 @@ def halo_exchange(x, axis_name, halo, axis):
         left_halo = jnp.zeros_like(right_edge)
         right_halo = jnp.zeros_like(left_edge)
     return jnp.concatenate([left_halo, x, right_halo], axis=axis)
+
+
+def overlap_tile_infer(apply_fn, x, lobe, n_tiles, halo, mesh=None,
+                       axis_name="data"):
+    """Context-parallel whole-scan inference by overlap-tile decomposition.
+
+    The D axis is cut into `n_tiles` windows of D/n_tiles + 2*halo voxels,
+    CLAMPED inside the volume (boundary windows shift inward instead of
+    zero-padding, so true volume edges get exactly the unsharded per-layer
+    conv padding — a zero halo slab would leak conv-bias "ghost" values
+    through deeper layers). Windows are stacked on the batch axis, run as
+    one batch through `apply_fn(x, lobe) -> (dense, refined)`, and the
+    halo-contaminated borders are cropped off.
+
+    Exact for stencil-local networks when `halo` >= the receptive-field
+    radius: eval-mode BatchNorm (pointwise) and DC3D(local_upsample=True)
+    qualify; align-corners upsampling and GroupNorm (global statistics) are
+    approximate. Per-tile activation memory drops n_tiles-fold (the real
+    constraint for whole-scan inference), and with a mesh the tile batch is
+    sharded across chips (SURVEY.md §2.7 spatial/context parallelism).
+
+    D must divide by n_tiles; D/n_tiles and halo should be multiples of the
+    network's total pooling factor.
+    """
+    B, D = x.shape[0], x.shape[1]
+    assert D % n_tiles == 0, "D must divide by n_tiles"
+    d_local = D // n_tiles
+    win = min(D, d_local + 2 * halo)
+
+    starts, offs = [], []
+    for i in range(n_tiles):
+        s = min(max(i * d_local - halo, 0), D - win)
+        starts.append(s)
+        offs.append(i * d_local - s)  # tile position inside its window
+
+    wx = jnp.concatenate([jax.lax.slice_in_dim(x, s, s + win, axis=1)
+                          for s in starts], axis=0)
+    wl = jnp.concatenate([jax.lax.slice_in_dim(lobe, s, s + win, axis=1)
+                          for s in starts], axis=0)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis_name))
+        wx = jax.device_put(wx, sharding)
+        wl = jax.device_put(wl, sharding)
+    dense, refined = apply_fn(wx, wl)
+
+    def stitch(t):
+        parts = []
+        for i in range(n_tiles):
+            tile = jax.lax.slice_in_dim(t, i * B, (i + 1) * B, axis=0)
+            parts.append(jax.lax.slice_in_dim(tile, offs[i],
+                                              offs[i] + d_local, axis=1))
+        return jnp.concatenate(parts, axis=1)
+
+    return stitch(dense), stitch(refined)
 
 
 def sharded_stencil_apply(fn, volume, mesh, halo, axis=0,

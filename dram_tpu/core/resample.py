@@ -180,6 +180,31 @@ def itk_resample_to_spacing(x, in_spacing, out_spacing=None, out_size=None,
     return y, tuple(float(s) for s in out_spacing)
 
 
+def upsample2x_local(x):
+    """Strictly local (shift-invariant) 2x trilinear upsample, half-pixel
+    centers: out[2i] = 0.25*in[i-1] + 0.75*in[i], out[2i+1] = 0.75*in[i] +
+    0.25*in[i+1], edges clamped. Unlike align_corners=True (whose source
+    mapping depends on the axis length), this commutes with overlap-tile
+    spatial sharding — used by the context-parallel whole-scan path."""
+    axes = _spatial_axes(x.ndim)
+    for ax in axes:
+        lo = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=ax),
+                              jax.lax.slice_in_dim(x, 0, x.shape[ax] - 1,
+                                                   axis=ax)], axis=ax)
+        hi = jnp.concatenate([jax.lax.slice_in_dim(x, 1, x.shape[ax],
+                                                   axis=ax),
+                              jax.lax.slice_in_dim(x, x.shape[ax] - 1,
+                                                   x.shape[ax], axis=ax)],
+                             axis=ax)
+        even = 0.25 * lo + 0.75 * x
+        odd = 0.75 * x + 0.25 * hi
+        y = jnp.stack([even, odd], axis=ax + 1)
+        new_shape = list(x.shape)
+        new_shape[ax] *= 2
+        x = y.reshape(new_shape)
+    return x
+
+
 def resize3d_np(x, out_size, method="trilinear"):
     """Host twin of resize3d (align_corners semantics) for ragged host-side
     back-resizes where per-shape device compiles would dominate."""

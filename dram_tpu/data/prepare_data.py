@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.ops import find_crops_np
 from .datasets import RadboudCOVID
-from .io import read_mha, write_mha
+from .io import write_mha
 
 
 def extract_lobe_chunks(db_path, uids=None, task_in="wss", task_out="wss_chunk",

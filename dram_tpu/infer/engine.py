@@ -38,8 +38,6 @@ from ..data.io import write_array_to_mha_itk
 from ..losses.interval_reg import ratio_to_label
 from ..utils import AverageMeter
 from ..viz import draw_mask_tile_singleview_heatmap, plot_confusion_matrix_from_data
-from .. import viz
-from ..core import ops as core_ops
 
 
 def _np_metrics(pred, target, smooth=1e-5):

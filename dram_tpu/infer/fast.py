@@ -23,8 +23,6 @@ per-lobe scale factors data, not shapes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

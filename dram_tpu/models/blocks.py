@@ -15,7 +15,7 @@ normal_wrapper :17-35, crop_concat_5d :37-46). Differences by design:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -194,7 +194,12 @@ class ConvPoolBlock5d(nn.Module):
 
 
 class UpsampleConvBlock5d(nn.Module):
-    """Trilinear x2 upsample -> crop-concat skip -> conv stack."""
+    """Trilinear x2 upsample -> crop-concat skip -> conv stack.
+
+    local_upsample=True swaps the reference's align-corners upsample for a
+    strictly local half-pixel 2x kernel (core.resample.upsample2x_local),
+    enabling exact overlap-tile spatial sharding of whole-scan inference.
+    """
 
     features: Sequence[int]
     scale_factor: int = 2
@@ -207,15 +212,19 @@ class UpsampleConvBlock5d(nn.Module):
     train: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    local_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
-        from ..core.resample import resize3d
+        from ..core.resample import resize3d, upsample2x_local
         sf = self.scale_factor
         if isinstance(sf, (tuple, list)):
             sf = sf[0]
-        out_size = tuple(int(s * sf) for s in x.shape[1:4])
-        x = resize3d(x, out_size, method="trilinear", align_corners=True)
+        if self.local_upsample and sf == 2:
+            x = upsample2x_local(x)
+        else:
+            out_size = tuple(int(s * sf) for s in x.shape[1:4])
+            x = resize3d(x, out_size, method="trilinear", align_corners=True)
         x = crop_concat(x, skip)
         n = len(self.features)
         return ConvStack(self.features,

@@ -25,7 +25,7 @@ Deviations (documented, both reference-side artifacts):
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

@@ -52,6 +52,9 @@ class DC3D(nn.Module):
     train: bool = True
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    # strictly local 2x upsampling (exact overlap-tile spatial sharding);
+    # False keeps reference align-corners parity
+    local_upsample: bool = False
 
     def setup(self):
         ks = (list(self.kernel_sizes) if self.kernel_sizes is not None
@@ -81,6 +84,7 @@ class DC3D(nn.Module):
                           self.end_ch_list[n + 1 + i]),
                 scale_factor=self.upsample_sf,
                 kernel_size=ks[n + 1 + i], padding=self.padding_list[n + 1 + i],
+                local_upsample=self.local_upsample,
                 name=f"us_{i}", **common)
             for i in range(self.n_layers)
         ]

@@ -135,3 +135,47 @@ class TestShardedPCM:
         got = np.asarray(pcm_sharded(m, v, jnp.asarray(cam), jnp.asarray(f),
                                      mesh))
         np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+@needs_devices
+class TestShardedUNetInference:
+    def test_overlap_tile_matches_single_device(self, rng):
+        """Context-parallel DC3D inference (clamped-window overlap tiles,
+        sharded over the mesh) == single-device forward when the halo
+        covers the network's receptive field."""
+        import jax.numpy as jnp
+        from dram_tpu.core.mesh import overlap_tile_infer
+        from dram_tpu.models import DC3D
+
+        cfg = dict(n_layers=2, in_ch_list=(1, 8, 16, 48, 24),
+                   base_ch_list=(4, 8, 16, 16, 8),
+                   end_ch_list=(8, 16, 32, 16, 8),
+                   padding_list=((1, 1),) * 5,
+                   checkpoint_layers=(0,) * 5, kernel_sizes=[(3, 3)] * 5,
+                   stacking=2, norm_method="bn", train=False,
+                   local_upsample=True)
+        # eval-mode BatchNorm normalises with running stats (pointwise) and
+        # local_upsample swaps align-corners (whose source mapping depends on
+        # the axis length, i.e. is global) for a shift-invariant half-pixel
+        # 2x kernel — together the network is stencil-local
+        model = DC3D(**cfg)
+        x = jnp.asarray(rng.normal(size=(1, 64, 16, 16, 1)).astype(np.float32))
+        lobe = jnp.asarray((rng.random((1, 64, 16, 16, 1)) > 0.3)
+                           .astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x[:, :16])
+
+        def apply_fn(xb, lb):
+            return model.apply({"params": v["params"],
+                                "batch_stats": v["batch_stats"]}, xb, lb)
+
+        want_d, want_r = apply_fn(x, lobe)
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        got_d, got_r = overlap_tile_infer(apply_fn, x, lobe, n_tiles=2,
+                                          halo=24, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   atol=1e-3)
+        # and without a mesh (single-chip memory-saving mode)
+        got1_d, _ = overlap_tile_infer(apply_fn, x, lobe, n_tiles=4, halo=24)
+        np.testing.assert_allclose(np.asarray(got1_d), np.asarray(want_d),
+                                   atol=1e-3)
