@@ -202,6 +202,12 @@ class JobRunner:
         if self.mesh is not None:
             self.logger.info(f"training mesh: {self.mesh}")
 
+        if getattr(s, "USE_GRAD_SCALER", False):
+            # reference used torch.cuda.amp.GradScaler (job_runner.py:406);
+            # bf16 on TPU keeps the f32 exponent range, so no loss scaling
+            self.logger.info("USE_GRAD_SCALER requested: bf16 needs no loss "
+                             "scaling on TPU (f32 exponent range); ignored.")
+
         self.model_status = MODEL_STATUS.RANDOM_INITIALIZED
         self.current_iteration = 0
         self.epoch_n = 0

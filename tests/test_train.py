@@ -135,3 +135,24 @@ class TestTolerantMerge:
         got = load_checkpoint(p)
         assert got["epoch"] == 3
         np.testing.assert_array_equal(got["model"]["w"], tree["model"]["w"])
+
+
+class TestEquivarianceTraining:
+    def test_aff_refine_loss_in_trainer(self, env, tmp_path):
+        """The 3-term equivariance+refinement objective trains through the
+        jitted step (traced one-shot transforms, two model passes)."""
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_aff"
+        settings.NUM_EPOCHS = 1
+        settings.LOSS_FACTORS = [2.0, 1.0, 0.5]
+        settings.LOSS_FUNC = {"method": "metrics.IntRegAffRefineLoss",
+                              "band_width": 1e-2, "smoothing": 0.1,
+                              "rescale_jitter": None}
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        runner.run()
+        import pandas as pd
+        rec = pd.read_csv(os.path.join(out, "models", "tiny_aff",
+                                       "records.csv"))
+        assert np.isfinite(rec["tr_loss"]).all()
