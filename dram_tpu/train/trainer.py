@@ -409,9 +409,11 @@ class LesionSegChunkTrain(JobRunner):
         tr_uids = ds_cls.get_series_uids(memo_csv)
         tr_dataset = ds_cls(
             s.DB_PATH, tr_uids, transforms=self.get_data_transforms(True))
+        # deterministic per-epoch resampling: reproducible given RANDOM_SEED
+        sampler_seed = getattr(s, "RANDOM_SEED", 33) + 9973 * self.epoch_n
         sampler = sampler_cls(
             self.logger, tr_dataset, s.TRAIN_BATCH_SIZE,
-            balance_label_count=s.BALANCED_LABEL_COUNT)
+            balance_label_count=s.BALANCED_LABEL_COUNT, seed=sampler_seed)
         self.ctss_frequency_map = sampler.ctss_frequency_map
         self.ctss_frequency_array = sampler.frequency_array()
         self.class_weights = sampler.class_weights

@@ -156,3 +156,29 @@ class TestEquivarianceTraining:
         rec = pd.read_csv(os.path.join(out, "models", "tiny_aff",
                                        "records.csv"))
         assert np.isfinite(rec["tr_loss"]).all()
+
+
+class TestDeterminism:
+    def test_same_seed_same_params(self, env, tmp_path):
+        """Seeded PRNG threading makes single-worker training bit-
+        reproducible (SURVEY §5: determinism replaces the reference's
+        contradictory cudnn benchmark+deterministic flags)."""
+        import jax
+        db, out = env
+
+        def run_once(tag):
+            settings = _settings(tmp_path, db, out)
+            settings.EXP_NAME = f"det_{tag}"
+            settings.NUM_EPOCHS = 1
+            settings.VAL_EPOCHS = 5  # skip validation
+            settings.RANDOM_SEED = 123
+            settings.NUM_WORKERS = 0
+            runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+                settings_module=settings)
+            runner.run()
+            return jax.tree.leaves(runner.params)
+
+        a = run_once("a")
+        b = run_once("b")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
