@@ -50,7 +50,9 @@ def synth_scan(shape=(400, 512, 512), seed=0):
 
 def main():
     from dram_tpu.data.hostprep import prep_scan
+    from dram_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     t_setup = time.time()
     shape = (400, 512, 512)
     spacing = (0.8, 0.7, 0.7)

@@ -102,6 +102,36 @@ _ALIASES = {
 }
 
 
+def enable_compilation_cache(path=None, min_compile_secs=0.5):
+    """Turn on JAX's persistent XLA compilation cache.
+
+    The deployment pipeline restarts per batch of scans; without a disk
+    cache every cold process pays full XLA compilation of the model +
+    pipeline stages (~5 min on a tunneled v5e). Called by every entry
+    point (train.py, process_pipeline.py, bench.py, JobRunner).
+
+    Cache location: $DRAM_TPU_CACHE_DIR, else `<repo>/.xla_cache`.
+    Returns the cache directory, or None when the running jax build does
+    not support the persistent-cache config knobs.
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "DRAM_TPU_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".xla_cache"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        return None
+    return path
+
+
 def get_callable_by_name(dotted_name):
     """Dotted string -> callable, resolving reference-style aliases first."""
     dotted_name = _ALIASES.get(dotted_name, dotted_name)
