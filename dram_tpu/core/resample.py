@@ -41,6 +41,9 @@ def _axis_weights(in_size: int, out_size: int, mode: str, scale: float | None):
             src = np.zeros((1,))
         else:
             src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    elif mode == "linear_hp":  # torch align_corners=False (half-pixel)
+        src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
     elif mode == "nearest_torch":  # torch F.interpolate nearest
         idx = np.floor(np.arange(out_size) * in_size / out_size).astype(np.int64)
         idx = np.clip(idx, 0, in_size - 1)
@@ -49,9 +52,10 @@ def _axis_weights(in_size: int, out_size: int, mode: str, scale: float | None):
     elif mode in ("itk_linear", "itk_nearest"):
         s = (in_size / out_size) if scale is None else scale
         src = np.arange(out_size) * s
-        # ITK: points with continuous index outside [-0.5, size-0.5) are
-        # outside the buffer and take the fill value.
-        valid = ((src >= -0.5) & (src <= in_size - 0.5)).astype(np.float32)
+        # ITK ImageFunction::IsInsideBuffer: continuous index inside
+        # [-0.5, size-0.5) — start inclusive, end EXCLUSIVE; outside points
+        # take the fill value.
+        valid = ((src >= -0.5) & (src < in_size - 0.5)).astype(np.float32)
         if mode == "itk_nearest":
             idx = np.floor(src + 0.5).astype(np.int64)  # round-half-up
             idx = np.clip(idx, 0, in_size - 1)
@@ -99,9 +103,10 @@ def resize3d(x, out_size, method="trilinear", align_corners=True):
     """
     axes = _spatial_axes(x.ndim)
     if method == "trilinear":
-        if not align_corners:
-            raise NotImplementedError("only align_corners=True is used/supported")
-        mode = "linear_ac"
+        # align_corners=True: model-internal Upsample (reference models.py:
+        # 146, 588); align_corners=False (half-pixel): the one-shot rescale
+        # (reference data_transforms.py:1221 F.interpolate default)
+        mode = "linear_ac" if align_corners else "linear_hp"
     elif method == "nearest":
         mode = "nearest_torch"
     else:

@@ -85,7 +85,10 @@ def resample_array(v, spacing, require_spacing=None, new_size=None,
             raise ValueError("need require_spacing or new_size")
         require_spacing = spacing * np.asarray(v.shape) / np.asarray(new_size)
     require_spacing = np.asarray(require_spacing, np.float64)
-    if new_size is not None and tuple(v.shape) == tuple(new_size):
+    if new_size is not None and tuple(v.shape) == tuple(new_size) \
+            and np.allclose(require_spacing, spacing):
+        # identity only when the index mapping is identity too — ITK
+        # resamples by SPACING even when the grid sizes happen to match
         return v, tuple(float(s) for s in require_spacing)
     if new_size is None:
         new_size = np.ceil(np.asarray(v.shape) * spacing / require_spacing).astype(int)

@@ -6,7 +6,7 @@
 //
 // Semantics mirror core/resample.py: output voxel centers map to input
 // continuous index src = i_out * scale per axis; linear interpolation with
-// fill outside [-0.5, size-0.5]; nearest = round-half-up. OpenMP over the
+// fill outside [-0.5, size-0.5); nearest = round-half-up. OpenMP over the
 // output z axis.
 
 #include <cstdint>
@@ -34,7 +34,8 @@ AxisTable make_axis(int in_size, int out_size, double scale, bool nearest) {
     t.valid.resize(out_size);
     for (int i = 0; i < out_size; ++i) {
         double src = i * scale;
-        bool valid = (src >= -0.5) && (src <= in_size - 0.5);
+        // ITK IsInsideBuffer: [-0.5, size-0.5), end exclusive
+        bool valid = (src >= -0.5) && (src < in_size - 0.5);
         t.valid[i] = valid ? 1 : 0;
         if (nearest) {
             int idx = (int)std::floor(src + 0.5);

@@ -77,8 +77,10 @@ class TestITKResample:
         vol = np.arange(4, dtype=np.float32).reshape(4, 1, 1) * np.ones((4, 2, 2), np.float32)
         out = np.asarray(resample.itk_resample3d(jnp.asarray(vol), (8, 2, 2),
                                                  scales=[0.5, 1.0, 1.0], method="nearest"))
-        # src = 0, .5, 1, 1.5, 2... round-half-up -> 0,1,1,2,2,3,3,4(clamp)
-        np.testing.assert_array_equal(out[:, 0, 0], [0, 1, 1, 2, 2, 3, 3, 3])
+        # src = 0, .5, 1, 1.5, ... round-half-up -> 0,1,1,2,2,3,3; src=3.5
+        # is EXACTLY size-0.5 = outside the buffer (ITK IsInsideBuffer is
+        # end-exclusive) -> fill value 0
+        np.testing.assert_array_equal(out[:, 0, 0], [0, 1, 1, 2, 2, 3, 3, 0])
 
     def test_to_spacing_size_inference(self):
         vol = np.zeros((10, 20, 30), np.float32)
@@ -129,3 +131,57 @@ class TestMhaIO:
         p = str(tmp_path / "f.mha")
         io.write_mha(p, arr)
         np.testing.assert_allclose(io.read_mha(p)["array"], arr)
+
+
+class TestITKGolden:
+    """Checked-in golden fixtures for ITK resampling semantics
+    (tests/goldens/itk_goldens.npz, generated by gen_itk_goldens.py — an
+    independent literal transcription of ITK ResampleImageFilter +
+    interpolator math that self-verifies against SimpleITK when that
+    library is present). Covers anisotropic down/up-sampling, fill
+    semantics, and the exact c == size-0.5 buffer-edge point (ITK
+    IsInsideBuffer is end-EXCLUSIVE). Reference: dram/utils.py:299-434."""
+
+    @staticmethod
+    def _cases():
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "goldens", "itk_goldens.npz")
+        g = np.load(path)
+        names = sorted({k.split("/")[0] for k in g.files if "/" in k})
+        for name in names:
+            yield (name, g[f"{name}/vol"], g[f"{name}/in_spacing"],
+                   g[f"{name}/out_spacing"], tuple(g[f"{name}/out_size"]),
+                   str(g[f"{name}/method"]), float(g[f"{name}/fill"]),
+                   g[f"{name}/golden"])
+
+    def test_device_path_matches_goldens(self):
+        for (name, vol, in_sp, out_sp, size, method, fill,
+             golden) in self._cases():
+            got = np.asarray(resample.itk_resample_to_spacing(
+                jnp.asarray(vol), in_sp, out_spacing=out_sp, out_size=size,
+                method=method, fill_value=fill)[0])
+            np.testing.assert_allclose(got, golden, atol=2e-3, rtol=1e-5,
+                                       err_msg=f"device path: {name}")
+
+    def test_host_twin_matches_goldens(self):
+        for (name, vol, in_sp, out_sp, size, method, fill,
+             golden) in self._cases():
+            scales = (np.asarray(out_sp) / np.asarray(in_sp)).tolist()
+            got = resample.itk_resample3d_np(vol, size, scales=scales,
+                                             method=method, fill_value=fill)
+            np.testing.assert_allclose(got, golden, atol=2e-3, rtol=1e-5,
+                                       err_msg=f"host twin: {name}")
+
+    def test_transforms_resample_array_matches_goldens(self):
+        """The data-pipeline entry point (incl. the C++ fast path when
+        built) reproduces the goldens."""
+        from dram_tpu.data.transforms import resample_array
+        for (name, vol, in_sp, out_sp, size, method, fill,
+             golden) in self._cases():
+            got, _ = resample_array(vol, in_sp, require_spacing=out_sp,
+                                    new_size=size, interpolator=method,
+                                    fill_value=fill)
+            np.testing.assert_allclose(np.asarray(got, np.float32), golden,
+                                       atol=2e-3, rtol=1e-5,
+                                       err_msg=f"resample_array: {name}")
