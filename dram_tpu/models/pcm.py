@@ -129,8 +129,8 @@ class PCM(nn.Module):
     residual: bool = False
     p_enc_dim: int = 32
     dtype: Any = jnp.float32
-    # fused Pallas kernel for the shipped merge type; inference-only
-    # (no custom VJP yet) — training always uses the XLA path
+    # fused Pallas kernel for the shipped merge type (TPU); differentiable
+    # via its recompute-based Pallas VJP, so training uses it too
     use_pallas: bool = False
 
     def _dense(self, feats, in_feats, name):
