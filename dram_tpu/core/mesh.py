@@ -21,20 +21,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def best_mesh(axis_name="data", batch_size=None, devices=None):
-    """A 1-D mesh over the devices, or None when single-device.
+def best_mesh(axis_name="data", devices=None):
+    """A 1-D mesh over ALL the devices, or None when single-device.
 
-    When `batch_size` is given, uses the largest device count that divides
-    it (sharded batch axes must split evenly).
+    Batches that don't divide the device count are padded with zero-weight
+    rows (`pad_batch`) rather than shrinking the mesh — no chip ever idles
+    because of an awkward batch size.
     """
     devices = devices if devices is not None else jax.devices()
-    n = len(devices)
-    if batch_size is not None:
-        while n > 1 and batch_size % n != 0:
-            n -= 1
-    if n <= 1:
+    if len(devices) <= 1:
         return None
-    return Mesh(np.asarray(devices[:n]), (axis_name,))
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def pad_batch(arrays, n_shards):
+    """Pad each array's leading axis up to a multiple of `n_shards`.
+
+    Padding rows repeat real samples (wrap-around) so every shard computes
+    on well-formed data; the returned `weights` vector is 1 for real rows
+    and 0 for padding. Losses accept it as `sample_weight` and exclude
+    padded rows from every reduction, so the gradients equal the unpadded
+    single-device computation exactly.
+
+    Returns (padded_arrays, weights).
+    """
+    b = int(np.shape(arrays[0])[0])
+    pad = (-b) % max(int(n_shards), 1)
+    weights = np.ones(b + pad, np.float32)
+    if pad == 0:
+        return tuple(arrays), weights
+    weights[b:] = 0.0
+    idx = np.arange(b + pad) % b
+    return tuple(np.asarray(a)[idx] for a in arrays), weights
 
 
 def shard_batch_arrays(mesh, arrays, axis_name="data"):

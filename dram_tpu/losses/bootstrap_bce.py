@@ -30,10 +30,17 @@ class BootBinCrossEntropy:
         self.smoothing = smoothing
         self.eps = 1e-7
 
-    def __call__(self, p, t, voi, class_weights=None):
+    def __call__(self, p, t, voi, class_weights=None, sample_weight=None):
         t = t.astype(p.dtype)
         outside = (voi < 1e-7).astype(p.dtype)
         inside = (voi > 0.0).astype(p.dtype)
+        if sample_weight is not None:
+            # padded batch rows (weight 0) leave every pooled statistic —
+            # alpha balance, region means — exactly as without them
+            w_b = sample_weight.astype(p.dtype).reshape(
+                (-1,) + (1,) * (p.ndim - 1))
+            outside = outside * w_b
+            inside = inside * w_b
 
         pt = p * t + (1.0 - p) * (1.0 - t)
         ptc = jnp.clip(pt, self.eps, 1.0 - self.eps)

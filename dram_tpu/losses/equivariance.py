@@ -10,15 +10,18 @@ size from the configured pool (re-sampled per compilation, e.g. per epoch)
 because data-dependent shapes cannot trace.
 
 Deviations from the reference (documented):
-* The reference composes a random permutation of {rescale, flip, rot90}
-  each kept with p=0.6 (metrics.py:224-243); here the ops are applied in a
-  fixed order (rescale, flip, rot90) with independent PRNG inclusion —
-  the consistency contract (identical T on both paths) is unchanged.
+* The reference composes a random PERMUTATION of {rescale, flip, rot90}
+  (metrics.py:224-243); here the ops apply in a fixed order
+  (rescale, flip, rot90). Keep-probability (0.6 each) and the per-axis
+  rescale-size sampling from the configured pool match the reference; the
+  shape-changing rescale is drawn statically per EPOCH (draw_rescale_static
+  + trainer reseed) instead of per call — XLA shapes must be static. The
+  consistency contract (identical T on both paths) is unchanged.
 * The reference's stale 3-output unpack (metrics.py:192,433,442) is fixed
   to the 2-head model contract; the "cls" consistency term of
   IntRegAffRefineLoss uses the refined head.
-* 90-degree rotations mix spatial axes, so they require cubic chunks
-  (the shipped configs train on 80^3).
+* On non-cubic grids the rot90 pool is trimmed to shape-preserving
+  variants (k=2, or quarter turns over equal-extent axis pairs).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from itertools import combinations, permutations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.resample import resize3d
 from .interval_reg import IntRegLoss, compute_enc_loss, compute_reg_loss_with_probs
@@ -49,9 +53,11 @@ def rot903d_oneshot(x, variant):
 
 
 def rescale3d_oneshot(x, size, is_reference):
-    """Fixed-target-size rescale (ref Rescale3DOneShot, mode='size')."""
+    """Fixed-target-size rescale (ref Rescale3DOneShot, mode='size'):
+    trilinear with torch's DEFAULT align_corners=False for images
+    (data_transforms.py:1221), nearest for references."""
     method = "nearest" if is_reference else "trilinear"
-    return resize3d(x, size, method=method, align_corners=True)
+    return resize3d(x, size, method=method, align_corners=False)
 
 
 def rotate3d_x_oneshot(x, theta):
@@ -76,47 +82,80 @@ def rotate3d_x_oneshot(x, theta):
     return jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1))(x)
 
 
+def _shape_preserving_rot_variants(spatial):
+    """Indices into _ROT_VARIANTS that keep (D,H,W) = `spatial` unchanged:
+    k=2 always, k=1/3 only over equal-extent axis pairs. (lax.cond branches
+    must agree on shapes; the reference's torch.rot90 freely changes shape,
+    but both consistency paths go through the same T so the restriction
+    only trims the variant pool on non-cubic grids.)"""
+    out = []
+    for i, (k, ax) in enumerate(_ROT_VARIANTS):
+        if k == 2 or spatial[ax[0] - 1] == spatial[ax[1] - 1]:
+            out.append(i)
+    return out
+
+
+def draw_rescale_static(seed, pool):
+    """Host-side static draw of the rescale op, matching the reference's
+    per-call sampling (metrics.py:224-231 + data_transforms.py:1210-1217):
+    kept with p = 0.6 (np.random.randint(0,10) < 6) and, when kept, a
+    per-axis target size np.random.choice(pool, 3). Shape-changing ops
+    can't be traced per step, so the draw is re-seeded per EPOCH by the
+    trainer (the one remaining cadence deviation besides fixed application
+    order). Returns a (D,H,W) size tuple or None."""
+    if not pool:
+        return None
+    rng = np.random.default_rng(seed)
+    if rng.integers(0, 10) >= 6:
+        return None
+    return tuple(int(s) for s in rng.choice(np.asarray(pool, np.int64), 3))
+
+
 class OneShotTransform:
     """A traced random composition: rescale? -> flip? -> rot90?.
 
     Construction consumes a PRNG key; `__call__(x, is_reference)` applies
     the identical transform to any (B,D,H,W,C) tensor, so probs, lobes and
-    images all go through the same T.
+    images all go through the same T. The rescale op is static (epoch-drawn
+    via draw_rescale_static); flip and rot90 are traced per step, each kept
+    with p=keep_prob like the reference (metrics.py:224-225).
     """
 
     def __init__(self, rng, rescale_size=None, keep_prob=0.6):
-        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
-        self.keep = jax.random.uniform(k1, (3,)) < keep_prob
+        k1, k2, k3 = jax.random.split(rng, 3)
+        self.keep = jax.random.uniform(k1, (2,)) < keep_prob
         self.flip_variant = jax.random.randint(k2, (), 0, len(_FLIP_VARIANTS))
-        self.rot_variant = jax.random.randint(k3, (), 0, len(_ROT_VARIANTS))
+        self._rot_key = k3
         self.rescale_size = rescale_size  # static or None
 
     def __call__(self, x, is_reference=False):
         if self.rescale_size is not None:
-            resized = rescale3d_oneshot(x, self.rescale_size, is_reference)
-            # inclusion of a shape-changing op must itself be static:
-            # rescale participates whenever a size is configured
-            x = resized
-        x = jax.lax.cond(self.keep[1],
+            x = rescale3d_oneshot(x, self.rescale_size, is_reference)
+        x = jax.lax.cond(self.keep[0],
                          lambda v: jax.lax.switch(
                              self.flip_variant,
                              [lambda u, i=i: flip3d_oneshot(u, i)
                               for i in range(len(_FLIP_VARIANTS))], v),
                          lambda v: v, x)
-        x = jax.lax.cond(self.keep[2],
+        allowed = _shape_preserving_rot_variants(x.shape[1:4])
+        rot_idx = jax.random.randint(self._rot_key, (), 0, len(allowed))
+        x = jax.lax.cond(self.keep[1],
                          lambda v: jax.lax.switch(
-                             self.rot_variant,
+                             rot_idx,
                              [lambda u, i=i: rot903d_oneshot(u, i)
-                              for i in range(len(_ROT_VARIANTS))], v),
+                              for i in allowed], v),
                          lambda v: v, x)
         return x
 
 
-def smooth_l1_masked(a, b, mask, beta=1.0):
+def smooth_l1_masked(a, b, mask, beta=1.0, sample_weight=None):
     """torch F.smooth_l1_loss over masked elements (mean reduction)."""
     d = jnp.abs(a - b)
     loss = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
     m = mask.astype(loss.dtype)
+    if sample_weight is not None:
+        m = m * sample_weight.astype(m.dtype).reshape(
+            (-1,) + (1,) * (m.ndim - 1))
     return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1e-12)
 
 
@@ -129,18 +168,26 @@ class IntRegAffLoss(IntRegLoss):
     def __init__(self, rescale_jitter=None, band_width=5e-2, **kwargs):
         super().__init__(band_width)
         self.rescale_jitter = rescale_jitter
+        self.epoch_reseed(0)
+
+    def epoch_reseed(self, seed):
+        """Redraw the static (shape-changing) rescale op for a new epoch.
+        Called by the trainer with an epoch-derived seed; returns True when
+        the drawn size changed (the caller must rebuild its jitted step)."""
+        size = draw_rescale_static(seed, self.rescale_jitter)
+        changed = size != getattr(self, "_static_rescale_size", None)
+        self._static_rescale_size = size
+        return changed
+
+    def static_key(self):
+        """Hashable epoch-static configuration (jit-cache key)."""
+        return ("rescale", self._static_rescale_size)
 
     def _transform(self, rng, spatial):
-        size = None
-        if self.rescale_jitter:
-            # static size: pick deterministically from the pool by epoch-level
-            # reseeding (the caller controls the rng / recompilation cadence)
-            size = tuple(self.rescale_jitter[:3]) \
-                if len(self.rescale_jitter) >= 3 else tuple(spatial)
-        return OneShotTransform(rng, rescale_size=size)
+        return OneShotTransform(rng, rescale_size=self._static_rescale_size)
 
     def __call__(self, model_fn, images, lobes, lesions, ctsses,
-                 ctss_frequency=None, rng=None, **kwargs):
+                 ctss_frequency=None, rng=None, sample_weight=None, **kwargs):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         T = self._transform(rng, images.shape[1:4])
@@ -151,17 +198,19 @@ class IntRegAffLoss(IntRegLoss):
         dense_outs, _ = model_fn(images, lobes)
         probs = jax.nn.sigmoid(dense_outs)
         reg_loss = compute_reg_loss_with_probs(
-            probs, lobes, lesions, ctsses, self.band_width, ctss_frequency)
-        enc_loss = compute_enc_loss(probs)
+            probs, lobes, lesions, ctsses, self.band_width, ctss_frequency,
+            sample_weight)
+        enc_loss = compute_enc_loss(probs, sample_weight)
 
         aff_dense, _ = model_fn(aff_images, aff_lobes)
         aff_probs = jax.nn.sigmoid(aff_dense)
         aff_reg_loss = compute_reg_loss_with_probs(
             aff_probs, aff_lobes, aff_lesions, ctsses, self.band_width,
-            ctss_frequency)
+            ctss_frequency, sample_weight)
 
         probs_T = T(probs)
-        aff_loss = smooth_l1_masked(probs_T, aff_probs, aff_lobes > 0)
+        aff_loss = smooth_l1_masked(probs_T, aff_probs, aff_lobes > 0,
+                                    sample_weight=sample_weight)
         ce_loss = (reg_loss + aff_reg_loss) / 2.0
         return ce_loss, aff_loss, enc_loss
 
@@ -180,7 +229,7 @@ class IntRegAffRefineLoss(IntRegAffLoss):
                                          refine_method=refine_method)
 
     def __call__(self, model_fn, images, lobes, lesions, ctsses,
-                 ctss_frequency=None, rng=None, **kwargs):
+                 ctss_frequency=None, rng=None, sample_weight=None, **kwargs):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         T = self._transform(rng, images.shape[1:4])
@@ -191,24 +240,29 @@ class IntRegAffRefineLoss(IntRegAffLoss):
         dense_outs, refined_dense_outs = model_fn(images, lobes)
         probs = jax.nn.sigmoid(dense_outs)
         reg_loss = compute_reg_loss_with_probs(
-            probs, lobes, lesions, ctsses, self.band_width, ctss_frequency)
+            probs, lobes, lesions, ctsses, self.band_width, ctss_frequency,
+            sample_weight)
 
         aff_dense, aff_refined = model_fn(aff_images, aff_lobes)
         aff_probs = jax.nn.sigmoid(aff_dense)
         aff_reg_loss = compute_reg_loss_with_probs(
             aff_probs, aff_lobes, aff_lesions, ctsses, self.band_width,
-            ctss_frequency)
+            ctss_frequency, sample_weight)
 
         probs_T = T(probs)
         refined_T = T(refined_dense_outs)
         inside = aff_lobes > 0
-        aff_loss = smooth_l1_masked(probs_T, aff_probs, inside)
-        aff_loss_cls = smooth_l1_masked(refined_T, aff_refined, inside)
+        aff_loss = smooth_l1_masked(probs_T, aff_probs, inside,
+                                    sample_weight=sample_weight)
+        aff_loss_cls = smooth_l1_masked(refined_T, aff_refined, inside,
+                                        sample_weight=sample_weight)
 
         seg_loss = self.seg_loss.compute_seg_loss(
-            dense_outs, refined_dense_outs, lobes, lesions, ctsses)
+            dense_outs, refined_dense_outs, lobes, lesions, ctsses,
+            sample_weight)
         seg_aff_loss = self.seg_loss.compute_seg_loss(
-            aff_dense, aff_refined, aff_lobes, aff_lesions, ctsses)
+            aff_dense, aff_refined, aff_lobes, aff_lesions, ctsses,
+            sample_weight)
 
         return ((reg_loss + aff_reg_loss) / 2.0,
                 (aff_loss + aff_loss_cls) / 2.0,

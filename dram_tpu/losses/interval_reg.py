@@ -72,18 +72,27 @@ def gen_qwk(n):
     return qwk + 1.0
 
 
-def compute_enc_loss(p):
+def compute_enc_loss(p, sample_weight=None):
     """Entropy regulariser pushing probabilities toward {0,1}
-    (reference metrics.py:154-156)."""
-    return jnp.mean((-p * jnp.log(p + 1e-7)) + (p - 1.0) * jnp.log(1.0 - p + 1e-7))
+    (reference metrics.py:154-156). With `sample_weight` (B,), padded
+    batch rows (weight 0) are excluded exactly — used by pad-and-mask
+    data parallelism (core/mesh.py pad_batch)."""
+    ent = (-p * jnp.log(p + 1e-7)) + (p - 1.0) * jnp.log(1.0 - p + 1e-7)
+    if sample_weight is None:
+        return jnp.mean(ent)
+    w = sample_weight.astype(ent.dtype)
+    per_sample = jnp.mean(ent, axis=tuple(range(1, ent.ndim)))
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
 def compute_reg_loss_with_probs(probs, lobes, lesion_candidates, ctsses,
-                                band_width, ctss_frequency=None):
+                                band_width, ctss_frequency=None,
+                                sample_weight=None):
     """probs/lobes/lesion_candidates: (B,D,H,W,1); ctsses: (B,) ints.
 
     Returns the summed hinge-squared interval loss (reference
     metrics.py:158-177), weighted by the inverse clamped label frequency.
+    `sample_weight` (B,) zeroes padded batch rows exactly.
     """
     if ctss_frequency is None:
         ctss_frequency = jnp.asarray(DEFAULT_CTSS_FREQUENCY)
@@ -102,7 +111,10 @@ def compute_reg_loss_with_probs(probs, lobes, lesion_candidates, ctsses,
     loss_unweight = jnp.maximum(loss_unhinge, 0.0)
 
     wf = jnp.clip(ctss_frequency[ctsses.astype(jnp.int32)], 0.2, 0.8)
-    return jnp.sum(loss_unweight / wf)
+    per_sample = loss_unweight / wf
+    if sample_weight is not None:
+        per_sample = per_sample * sample_weight.astype(per_sample.dtype)
+    return jnp.sum(per_sample)
 
 
 class IntRegLoss:
@@ -122,10 +134,11 @@ class IntRegLoss:
         return ratio_to_label(ratios)
 
     def __call__(self, model_fn, images, lobes, lesions, ctsses,
-                 ctss_frequency=None, rng=None, **kwargs):
+                 ctss_frequency=None, rng=None, sample_weight=None, **kwargs):
         dense_outs, _ = model_fn(images, lobes)
         probs = jax.nn.sigmoid(dense_outs)
         reg_loss = compute_reg_loss_with_probs(
-            probs, lobes, lesions, ctsses, self.band_width, ctss_frequency)
-        enc_loss = compute_enc_loss(probs)
+            probs, lobes, lesions, ctsses, self.band_width, ctss_frequency,
+            sample_weight)
+        enc_loss = compute_enc_loss(probs, sample_weight)
         return reg_loss, enc_loss

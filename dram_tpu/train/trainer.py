@@ -36,7 +36,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from ..core.mesh import best_mesh, shard_batch_arrays
+from ..core.mesh import best_mesh, pad_batch, shard_batch_arrays
 from ..core.resample import resize3d_np
 from ..data.datasets import RadboudCOVID, RadboudCOVIDLobeVesselChunk
 from ..data.pipeline import DataLoader
@@ -44,8 +44,8 @@ from ..data.sampler import LobeChunkCTSSSampler
 from ..data import transforms as T
 from ..core.ops import find_crops_np
 from ..losses.interval_reg import ratio_to_label
-from ..utils import (AverageMeter, Settings, get_callable_by_name,
-                     get_value_recursively)
+from ..utils import (AverageMeter, Settings, enable_compilation_cache,
+                     get_callable_by_name, get_value_recursively)
 from ..viz import SummaryWriter, plot_confusion_matrix_from_data
 from .checkpoint import (load_checkpoint, newest_checkpoint, save_checkpoint,
                          tolerant_merge)
@@ -95,6 +95,7 @@ class ExponentialLR:
     def load_state_dict(self, d):
         self.steps = int(d.get("steps", 0))
         self.base_lr = float(d.get("base_lr", self.base_lr))
+        self.gamma = float(d.get("gamma", self.gamma))
 
 
 def exponential_lr(gamma=0.9, **kw):
@@ -118,6 +119,8 @@ class JobRunner:
         else:
             self.settings = Settings(setting_module_file_path)
         self.model_status = MODEL_STATUS.UN_INIT
+        enable_compilation_cache(
+            getattr(self.settings, "COMPILATION_CACHE_DIR", None))
 
         for fn in get_value_recursively(getattr(self.settings, "LOGGING", {}),
                                         "filename"):
@@ -159,17 +162,17 @@ class JobRunner:
         self.compute_dtype = jnp.bfloat16 \
             if getattr(s, "COMPUTE_DTYPE", "float32") == "bfloat16" \
             else jnp.float32
-        self.model = model_cls(**model_cfg, train=True,
-                               dtype=self.compute_dtype)
-        eval_kwargs = dict(model_cfg)
         if "use_pallas_attention" in getattr(model_cls,
                                              "__dataclass_fields__", {}):
-            # fused stencil-attention kernel for eval (TPU only; the CPU
-            # backend runs the XLA path)
-            eval_kwargs["use_pallas_attention"] = bool(
+            # fused stencil-attention kernel (TPU only; the CPU backend
+            # runs the XLA path). Training uses it too — the kernel has a
+            # recompute-based Pallas VJP.
+            model_cfg["use_pallas_attention"] = bool(
                 getattr(s, "USE_PALLAS_ATTENTION",
                         jax.default_backend() == "tpu"))
-        self.model_eval = model_cls(**eval_kwargs, train=False,
+        self.model = model_cls(**model_cfg, train=True,
+                               dtype=self.compute_dtype)
+        self.model_eval = model_cls(**model_cfg, train=False,
                                     dtype=self.compute_dtype)
 
         init_cfg = dict(getattr(s, "INITIALIZER", {"method": "models.HeNorm"}))
@@ -185,7 +188,37 @@ class JobRunner:
 
         opt_cfg = dict(s.OPTIMIZER)
         opt_cls = get_callable_by_name(opt_cfg.pop("method"))
-        self.tx, base_lr = opt_cls(**opt_cfg)
+        groups = opt_cfg.pop("groups", None)
+        if groups:
+            # per-parameter-group optimizer (reference job_runner.py:385-393:
+            # params whose name matches a group key get that group's
+            # overrides, the rest get the base config) via multi_transform
+            self._group_base_lrs = {}
+            transforms = {}
+            for key, overrides in groups.items():
+                gcfg = dict(opt_cfg)
+                gcfg.update(overrides)
+                transforms[key], glr = opt_cls(**gcfg)
+                self._group_base_lrs[key] = glr
+            transforms["__default__"], base_lr = opt_cls(**opt_cfg)
+            self._group_base_lrs["__default__"] = base_lr
+            group_keys = list(groups.keys())
+
+            def label_of_path(path, _):
+                names = [str(k.key) if hasattr(k, "key") else str(k)
+                         for k in path]
+                for key in group_keys:
+                    if any(key in n for n in names):
+                        return key
+                return "__default__"
+
+            def label_fn(params):
+                return jax.tree_util.tree_map_with_path(label_of_path, params)
+
+            self.tx = optax.multi_transform(transforms, label_fn)
+        else:
+            self._group_base_lrs = None
+            self.tx, base_lr = opt_cls(**opt_cfg)
         self.opt_state = self.tx.init(self.params)
 
         sched_cfg = dict(getattr(s, "SCHEDULER",
@@ -193,14 +226,31 @@ class JobRunner:
                                   "gamma": 0.9}))
         get_callable_by_name(sched_cfg.pop("method"))  # validates the name
         self.scheduler = ExponentialLR(base_lr, **sched_cfg)
+        self._set_lr(self.scheduler.lr)  # fail-fast hyperparams validation
 
         loss_cfg = dict(s.LOSS_FUNC)
         loss_cls = get_callable_by_name(loss_cfg.pop("method"))
         self.loss_func = loss_cls(**loss_cfg)
 
-        self.mesh = best_mesh(batch_size=getattr(s, "TRAIN_BATCH_SIZE", None))
+        self.mesh = best_mesh()
+        self.n_shards = int(self.mesh.devices.size) \
+            if self.mesh is not None else 1
+        # DP batch semantics: "pad" (default) keeps the reference global
+        # batch (TRAIN_BATCH_SIZE) and pads it to the mesh with zero-weight
+        # rows — gradients match the single-device run exactly; "scale"
+        # interprets TRAIN_BATCH_SIZE per device (global = B * n_devices).
+        # Either way every chip is in the mesh (no silent shrink).
+        mode = getattr(s, "DP_BATCH_MODE", "pad")
+        if mode not in ("pad", "scale"):
+            raise ValueError(f"DP_BATCH_MODE must be 'pad' or 'scale', "
+                             f"got {mode!r}")
+        self.dp_batch_mode = mode
+        b = int(getattr(s, "TRAIN_BATCH_SIZE", 1))
+        self.loader_batch_size = b * self.n_shards if mode == "scale" else b
         if self.mesh is not None:
-            self.logger.info(f"training mesh: {self.mesh}")
+            self.logger.info(
+                f"training mesh: {self.mesh} (batch mode {mode}, "
+                f"global batch {self.loader_batch_size})")
 
         if getattr(s, "USE_GRAD_SCALER", False):
             # reference used torch.cuda.amp.GradScaler (job_runner.py:406);
@@ -211,6 +261,7 @@ class JobRunner:
         self.model_status = MODEL_STATUS.RANDOM_INITIALIZED
         self.current_iteration = 0
         self.epoch_n = 0
+        self._step_cache = {}
         self._build_train_step()
         self.logger.info("init finished (dtype=%s, devices=%d)",
                          self.compute_dtype.__name__, jax.device_count())
@@ -229,21 +280,54 @@ class JobRunner:
             self.summary_writer.add_scalar(f"std_{name}", float(arr.std()),
                                            iteration)
 
+    def _lr_states(self):
+        """{group label: InjectHyperparamsState} the scheduler drives."""
+        def unwrap(st):
+            while not hasattr(st, "hyperparams") and hasattr(st, "inner_state"):
+                st = st.inner_state
+            return st
+
+        if self._group_base_lrs is not None:
+            return {k: unwrap(v)
+                    for k, v in self.opt_state.inner_states.items()}
+        return {"__default__": unwrap(self.opt_state)}
+
     def _set_lr(self, lr):
-        """Write the scheduler lr into the injected optax hyperparams."""
-        try:
-            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-        except Exception:
-            pass
+        """Write the scheduler lr into the injected optax hyperparams.
+
+        Raises when the hyperparams layout is missing — a silently frozen
+        learning rate is a wrong-training-run failure with zero signal.
+        With optimizer groups, every group's lr is scaled by the same decay
+        factor (torch ExponentialLR semantics: each param_group lr *= gamma).
+        """
+        base = self.scheduler.base_lr
+        scale = lr / base if base else 0.0
+        bases = self._group_base_lrs or {"__default__": base}
+        for label, st in self._lr_states().items():
+            if not hasattr(st, "hyperparams") or \
+                    "learning_rate" not in st.hyperparams:
+                raise RuntimeError(
+                    f"optimizer state for group '{label}' exposes no injected"
+                    " 'learning_rate' hyperparam; the LR schedule cannot be"
+                    " applied (optax inject_hyperparams layout changed?)")
+            st.hyperparams["learning_rate"] = jnp.asarray(
+                bases.get(label, base) * scale, jnp.float32)
 
     def _build_train_step(self):
+        # epoch-static loss config (e.g. the equivariance rescale size) keys
+        # the jitted-step cache: same statics -> same compiled program
+        key = self.loss_func.static_key() \
+            if hasattr(self.loss_func, "static_key") else ()
+        if key in self._step_cache:
+            self.train_step = self._step_cache[key]
+            return
         factors = [float(f) for f in self.settings.LOSS_FACTORS]
         model = self.model
         loss_func = self.loss_func
         tx = self.tx
 
         def train_step(params, batch_stats, opt_state, images, lobes,
-                       lesions, ctss, freq, rng):
+                       lesions, ctss, freq, weights, rng):
             def loss_fn(p):
                 carry = {"bs": batch_stats}
 
@@ -256,7 +340,8 @@ class JobRunner:
                     return out
 
                 losses = loss_func(model_fn, images, lobes, lesions, ctss,
-                                   ctss_frequency=freq, rng=rng)
+                                   ctss_frequency=freq, rng=rng,
+                                   sample_weight=weights)
                 total = sum(l * f for l, f in zip(losses, factors))
                 return total, (jnp.stack(losses), carry["bs"])
 
@@ -272,11 +357,13 @@ class JobRunner:
             batch_sharding = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())
             in_shardings = (repl, repl, repl, batch_sharding, batch_sharding,
-                            batch_sharding, batch_sharding, repl, repl)
+                            batch_sharding, batch_sharding, repl,
+                            batch_sharding, repl)
             self.train_step = jax.jit(train_step, donate_argnums=donate,
                                       in_shardings=in_shardings)
         else:
             self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self._step_cache[key] = self.train_step
 
     # ------------------------------------------------------------------
     def model_state_tree(self):
@@ -410,15 +497,23 @@ class LesionSegChunkTrain(JobRunner):
         tr_dataset = ds_cls(
             s.DB_PATH, tr_uids, transforms=self.get_data_transforms(True))
         # deterministic per-epoch resampling: reproducible given RANDOM_SEED
+        # re-draw the loss's epoch-static transform config (equivariance
+        # rescale op: keep-prob + per-axis size pool, reference
+        # metrics.py:224-231) and swap in the matching jitted step
+        if hasattr(self.loss_func, "epoch_reseed"):
+            self.loss_func.epoch_reseed(
+                getattr(s, "RANDOM_SEED", 33) + 7919 * self.epoch_n)
+            self._build_train_step()
+
         sampler_seed = getattr(s, "RANDOM_SEED", 33) + 9973 * self.epoch_n
         sampler = sampler_cls(
-            self.logger, tr_dataset, s.TRAIN_BATCH_SIZE,
+            self.logger, tr_dataset, self.loader_batch_size,
             balance_label_count=s.BALANCED_LABEL_COUNT, seed=sampler_seed)
         self.ctss_frequency_map = sampler.ctss_frequency_map
         self.ctss_frequency_array = sampler.frequency_array()
         self.class_weights = sampler.class_weights
         self.tr_loader = DataLoader(
-            tr_dataset, sampler, batch_size=s.TRAIN_BATCH_SIZE,
+            tr_dataset, sampler, batch_size=self.loader_batch_size,
             drop_last=True, num_workers=getattr(s, "NUM_WORKERS", 4) or 0)
         self.num_steps = len(self.tr_loader)
 
@@ -440,13 +535,60 @@ class LesionSegChunkTrain(JobRunner):
         ctss = np.asarray([int(float(c)) for c in meta[key]], np.int32)
         arrays = (images, lobes, lesions, ctss)
         if self.mesh is not None:
-            return shard_batch_arrays(self.mesh, arrays)
-        return tuple(jnp.asarray(a) for a in arrays)
+            arrays, weights = pad_batch(arrays, self.n_shards)
+            return shard_batch_arrays(self.mesh, arrays + (weights,))
+        weights = np.ones(images.shape[0], np.float32)
+        return tuple(jnp.asarray(a) for a in arrays + (weights,))
+
+    def _dump_train_trace(self, images, lobes, step_rng, step_idx,
+                          max_samples=2):
+        """Train-time attention-heatmap + transform-overlay trace
+        (reference models.py:520-546 apply_attention trace_path dumps and
+        metrics.py:258-295 IntRegAffLoss overlays, driven by TRACE): on a
+        trace step, run the eval forward on the current training batch and
+        tile the dense vs refined CAMs; for equivariance losses, also dump
+        the original-vs-transformed image overlay + the drawn transform."""
+        from ..core.ops import windowing_np
+        from ..viz import draw_mask_tile_singleview_heatmap
+        trace_dir = os.path.join(self.debug_path, "train_trace",
+                                 f"{self.epoch_n}_{step_idx}")
+        os.makedirs(trace_dir, exist_ok=True)
+        dense, refined = self.model_eval.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            images[:max_samples], lobes[:max_samples])
+        d_np = np.asarray(dense, np.float32)[..., 0]
+        r_np = np.asarray(refined, np.float32)[..., 0]
+        im_np = np.asarray(images, np.float32)[:max_samples, ..., 0]
+        lo_np = np.asarray(lobes, np.float32)[:max_samples, ..., 0] > 0
+        for i in range(d_np.shape[0]):
+            draw_mask_tile_singleview_heatmap(
+                windowing_np(im_np[i], from_span=(0, 1)).astype(np.uint8),
+                [[(windowing_np(d_np[i], from_span=None) *
+                   lo_np[i]).astype(np.uint8)],
+                 [(windowing_np(r_np[i], from_span=None) *
+                   lo_np[i]).astype(np.uint8)]],
+                r_np[i] > 0, 5, os.path.join(trace_dir, f"sample_{i}"),
+                titles=["dram", "dram_refine"])
+        if hasattr(self.loss_func, "_transform"):
+            T = self.loss_func._transform(step_rng, images.shape[1:4])
+            aff = np.asarray(T(images[:max_samples]), np.float32)[..., 0]
+            for i in range(aff.shape[0]):
+                draw_mask_tile_singleview_heatmap(
+                    windowing_np(aff[i], from_span=(0, 1)).astype(np.uint8),
+                    [[np.zeros_like(aff[i], np.uint8)]], aff[i] > -1e8, 5,
+                    os.path.join(trace_dir, f"sample_{i}_transformed"),
+                    titles=["transformed"])
+            with open(os.path.join(trace_dir, "transform.txt"), "wt") as fp:
+                fp.write(f"keep={np.asarray(T.keep).tolist()}, "
+                         f"flip_variant={int(T.flip_variant)}, "
+                         f"rescale_size={T.rescale_size}\n")
 
     def train(self):
         batch_time, data_time, loss_record = \
             AverageMeter(), AverageMeter(), AverageMeter()
         freq = jnp.asarray(self.ctss_frequency_array)
+        trace_on = bool(getattr(self.settings, "TRACE", False))
+        trace_steps = getattr(self.settings, "TRACE_STEPS", 0)
         profile_dir = getattr(self.settings, "PROFILE_DIR", None)
         if profile_dir and self.epoch_n == getattr(self.settings,
                                                    "PROFILE_EPOCH", 1):
@@ -455,13 +597,20 @@ class LesionSegChunkTrain(JobRunner):
         end = time.time()
         for step_idx, batch in enumerate(self.tr_loader):
             data_time.update(time.time() - end)
-            images, lobes, lesions, ctss = self._device_batch(batch)
+            images, lobes, lesions, ctss, weights = self._device_batch(batch)
             self.rng, step_rng = jax.random.split(self.rng)
             self._set_lr(self.scheduler.lr)
             (self.params, self.batch_stats, self.opt_state, loss, losses) = \
                 self.train_step(self.params, self.batch_stats, self.opt_state,
-                                images, lobes, lesions, ctss, freq, step_rng)
+                                images, lobes, lesions, ctss, freq, weights,
+                                step_rng)
             self.current_iteration += 1
+            if trace_on and (step_idx == 0 or (
+                    trace_steps and step_idx % trace_steps == 0)):
+                try:
+                    self._dump_train_trace(images, lobes, step_rng, step_idx)
+                except Exception as e:
+                    self.logger.warning(f"train trace failed: {e}")
             loss_v = float(loss)
             loss_record.update(loss_v, images.shape[0])
             batch_time.update(time.time() - end)

@@ -213,3 +213,121 @@ class TestEquivariance:
                             jnp.zeros_like(images), jnp.asarray([2, 3]),
                             rng=jax.random.PRNGKey(3))
         assert float(aff) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestSampleWeight:
+    """Pad-and-mask DP contract: every loss with `sample_weight` must equal
+    its unpadded value when the padded rows (wrap-around copies) get
+    weight 0 (core/mesh.py pad_batch)."""
+
+    def _batch(self, rng, B=5):
+        x = rng.normal(size=(B, 6, 6, 6, 1)).astype(np.float32)
+        lobes = (rng.random((B, 6, 6, 6, 1)) > 0.3).astype(np.float32)
+        cands = ((rng.random((B, 6, 6, 6, 1)) > 0.6) * lobes).astype(np.float32)
+        ctss = rng.integers(0, 6, B).astype(np.int32)
+        return x, lobes, cands, ctss
+
+    def _padded(self, arrays, n_shards=4):
+        from dram_tpu.core.mesh import pad_batch
+        return pad_batch(arrays, n_shards)
+
+    @pytest.mark.parametrize("loss_cls,kwargs", [
+        (IntRegLoss, {"band_width": 5e-2}),
+        (IntRegRefineLoss, {"band_width": 1e-2, "smoothing": 0.1}),
+    ])
+    def test_padded_equals_unpadded(self, rng, loss_cls, kwargs):
+        x, lobes, cands, ctss = self._batch(rng)
+        loss = loss_cls(**kwargs)
+        model_fn = lambda im, lo: (im * 0.3 + lo * 0.1, im * 0.2 - lo * 0.05)
+        want = loss(model_fn, *(jnp.asarray(a) for a in (x, lobes, cands, ctss)))
+        (px, pl, pc, pt), w = self._padded((x, lobes, cands, ctss))
+        assert px.shape[0] == 8
+        got = loss(model_fn, jnp.asarray(px), jnp.asarray(pl),
+                   jnp.asarray(pc), jnp.asarray(pt),
+                   sample_weight=jnp.asarray(w))
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_aff_refine_padded_equals_unpadded(self, rng):
+        from dram_tpu.losses import IntRegAffRefineLoss
+        x, lobes, cands, ctss = self._batch(rng)
+        loss = IntRegAffRefineLoss(band_width=1e-2, smoothing=0.1)
+        model_fn = lambda im, lo: (im * 0.3 + lo * 0.1, im * 0.2 - lo * 0.05)
+        key = jax.random.PRNGKey(11)
+        want = loss(model_fn, *(jnp.asarray(a) for a in (x, lobes, cands, ctss)),
+                    rng=key)
+        (px, pl, pc, pt), w = self._padded((x, lobes, cands, ctss))
+        got = loss(model_fn, jnp.asarray(px), jnp.asarray(pl),
+                   jnp.asarray(pc), jnp.asarray(pt), rng=key,
+                   sample_weight=jnp.asarray(w))
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_boot_bce_weighted(self, rng):
+        p = _sigmoid(rng.normal(size=(3, 5, 5, 5, 1))).astype(np.float32)
+        t = (rng.random((3, 5, 5, 5, 1)) > 0.5).astype(np.float32)
+        voi = (rng.random((3, 5, 5, 5, 1)) > 0.4).astype(np.float32)
+        loss = BootBinCrossEntropy(0.1)
+        want = float(loss(jnp.asarray(p), jnp.asarray(t), jnp.asarray(voi)))
+        pp = np.concatenate([p, p[:1]], 0)
+        tt = np.concatenate([t, t[:1]], 0)
+        vv = np.concatenate([voi, voi[:1]], 0)
+        w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+        got = float(loss(jnp.asarray(pp), jnp.asarray(tt), jnp.asarray(vv),
+                         sample_weight=w))
+        assert got == pytest.approx(want, rel=1e-6)
+
+
+class TestOneShotReferenceOracle:
+    def test_fixed_draw_matches_torch_composition(self, rng):
+        """Oracle for ONE fixed transform draw: rescale(per-axis size,
+        F.interpolate default align_corners=False / nearest) -> flip ->
+        rot90, composed exactly like the reference one-shots
+        (metrics.py:219-243, data_transforms.py:1140-1239)."""
+        from dram_tpu.losses.equivariance import (
+            rescale3d_oneshot, flip3d_oneshot, rot903d_oneshot,
+            _FLIP_VARIANTS, _ROT_VARIANTS)
+        x = rng.normal(size=(2, 9, 8, 7, 1)).astype(np.float32)
+        size = (12, 10, 8)
+
+        y = rescale3d_oneshot(jnp.asarray(x), size, is_reference=False)
+        y = flip3d_oneshot(y, _FLIP_VARIANTS.index((1, 3)))
+        y = np.asarray(rot903d_oneshot(y, _ROT_VARIANTS.index((2, (1, 2)))))
+
+        t = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # NCDHW
+        t = torch.nn.functional.interpolate(t, size=size, mode="trilinear")
+        t = torch.flip(t, (2, 4))
+        t = torch.rot90(t, 2, (2, 3))
+        want = t.numpy().transpose(0, 2, 3, 4, 1)
+        np.testing.assert_allclose(y, want, atol=2e-5)
+
+        # reference-mask channel: torch nearest
+        yr = np.asarray(rescale3d_oneshot(jnp.asarray(x), size,
+                                          is_reference=True))
+        tr = torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), size=size,
+            mode="nearest")
+        np.testing.assert_allclose(
+            yr, tr.numpy().transpose(0, 2, 3, 4, 1), atol=0)
+
+    def test_draw_rescale_static_semantics(self):
+        """Keep-prob 0.6 + per-axis pool choice (reference
+        metrics.py:224-231, data_transforms.py:1216-1217)."""
+        from dram_tpu.losses.equivariance import draw_rescale_static
+        pool = [8, 10, 12]
+        draws = [draw_rescale_static(s, pool) for s in range(400)]
+        kept = [d for d in draws if d is not None]
+        assert 0.5 < len(kept) / len(draws) < 0.7
+        assert all(all(v in pool for v in d) for d in kept)
+        # per-axis sampling: non-cubic sizes must occur
+        assert any(len(set(d)) > 1 for d in kept)
+        assert draw_rescale_static(5, None) is None
+
+    def test_noncubic_rot90_shape_preserving(self, rng):
+        """On non-cubic grids the traced rot90 pool is trimmed to shape-
+        preserving variants; the transform still runs and keeps shapes."""
+        from dram_tpu.losses.equivariance import OneShotTransform
+        x = jnp.asarray(rng.normal(size=(1, 6, 4, 4, 1)).astype(np.float32))
+        for seed in range(6):
+            T = OneShotTransform(jax.random.PRNGKey(seed))
+            assert T(x).shape == x.shape

@@ -8,8 +8,9 @@ import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from dram_tpu.core.mesh import (best_mesh, halo_exchange, replicate,
-                                shard_batch_arrays, sharded_stencil_apply)
+from dram_tpu.core.mesh import (best_mesh, halo_exchange, pad_batch,
+                                replicate, shard_batch_arrays,
+                                sharded_stencil_apply)
 
 
 needs_devices = pytest.mark.skipif(jax.device_count() < 8,
@@ -88,7 +89,7 @@ class TestDataParallelStep:
                                   jnp.asarray(lobes), jnp.asarray(cands),
                                   jnp.asarray(ctss))
 
-        mesh = best_mesh(batch_size=B)
+        mesh = best_mesh()
         assert mesh is not None and mesh.devices.size == 8
         from jax.sharding import NamedSharding
         batch_sh = NamedSharding(mesh, P("data"))
@@ -104,11 +105,69 @@ class TestDataParallelStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
-    def test_best_mesh_divisibility(self):
-        m = best_mesh(batch_size=10)  # 8 devices don't divide 10 -> 2 do
-        assert m is None or 10 % m.devices.size == 0
-        m8 = best_mesh(batch_size=16)
-        assert m8 is not None and m8.devices.size == 8
+    def test_best_mesh_uses_all_devices(self):
+        m = best_mesh()
+        assert m is not None and m.devices.size == jax.device_count()
+
+    def test_pad_batch(self):
+        a = np.arange(10)
+        b = np.arange(20.0).reshape(10, 2)
+        (pa, pb), w = pad_batch((a, b), 8)
+        assert pa.shape[0] == 16 and pb.shape == (16, 2)
+        assert w.sum() == 10 and (w[:10] == 1).all() and (w[10:] == 0).all()
+        np.testing.assert_array_equal(pa[10:], a[:6])  # wrap-around rows
+        (qa,), w1 = pad_batch((a,), 5)  # already divisible: no-op
+        assert qa.shape[0] == 10 and (w1 == 1).all()
+
+    def test_padded_batch_grads_match_unpadded(self, rng):
+        """Batch 10 on an 8-device mesh: padded to 16 with zero-weight rows,
+        the loss and grads equal the unpadded single-device run exactly —
+        the trainer's DP_BATCH_MODE='pad' contract (TRAIN_BATCH_SIZE stays
+        the reference global batch, no chip idles, no semantic drift)."""
+        from dram_tpu.models import DC3D
+        from dram_tpu.losses import IntRegRefineLoss
+
+        cfg = dict(n_layers=1, in_ch_list=(1, 4, 12), base_ch_list=(2, 4, 4),
+                   end_ch_list=(4, 8, 4), padding_list=((1, 1),) * 3,
+                   checkpoint_layers=(0, 0, 0), kernel_sizes=[(3, 3)] * 3,
+                   stacking=1, norm_method="ln")
+        model = DC3D(**cfg)
+        B = 10
+        x = rng.normal(size=(B, 8, 8, 8, 1)).astype(np.float32)
+        lobes = (rng.random((B, 8, 8, 8, 1)) > 0.3).astype(np.float32)
+        cands = ((rng.random((B, 8, 8, 8, 1)) > 0.7) * lobes).astype(np.float32)
+        ctss = rng.integers(0, 6, B).astype(np.int32)
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+        loss_obj = IntRegRefineLoss()
+
+        def loss_fn(params, images, lo, le, ct, w):
+            def model_fn(im, l):
+                return model.apply({"params": params}, im, l)
+            reg, seg = loss_obj(model_fn, images, lo, le, ct,
+                                sample_weight=w)
+            return 2.0 * reg + seg
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        ones = jnp.ones(B, jnp.float32)
+        l1, g1 = jax.jit(grad_fn)(v["params"], jnp.asarray(x),
+                                  jnp.asarray(lobes), jnp.asarray(cands),
+                                  jnp.asarray(ctss), ones)
+
+        mesh = best_mesh()
+        (px, pl, pc, pt), w = pad_batch((x, lobes, cands, ctss), 8)
+        assert px.shape[0] == 16
+        from jax.sharding import NamedSharding
+        batch_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        jitted = jax.jit(grad_fn, in_shardings=(repl,) + (batch_sh,) * 5)
+        params_r = replicate(mesh, v["params"])
+        arrs = shard_batch_arrays(mesh, (px, pl, pc, pt, w))
+        l8, g8 = jitted(params_r, *arrs)
+
+        np.testing.assert_allclose(float(l1), float(l8), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
 
 
 @needs_devices

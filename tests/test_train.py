@@ -96,6 +96,18 @@ class TestTrainerEndToEnd:
         assert np.isfinite(rec["tr_loss"]).all()
         # scheduler stepped once per validated epoch
         assert runner.scheduler.steps == 2
+        # the decayed lr actually reached the optimizer's injected
+        # hyperparams (the last train step ran at gamma^1)
+        lr_states = runner._lr_states()
+        injected = float(lr_states["__default__"].hyperparams["learning_rate"])
+        base, gamma = runner.scheduler.base_lr, runner.scheduler.gamma
+        assert injected == pytest.approx(base * gamma, rel=1e-6)
+        # and with 8 fake devices, the full mesh is used (no silent shrink
+        # for the non-dividing batch; rows are padded + zero-weighted)
+        import jax
+        if jax.device_count() >= 8:
+            assert runner.mesh is not None
+            assert runner.mesh.devices.size == jax.device_count()
 
     def test_resume_from_checkpoint(self, env, tmp_path):
         db, out = env
@@ -108,6 +120,38 @@ class TestTrainerEndToEnd:
         runner.run()
         exp = os.path.join(out, "models", "tiny")
         assert os.path.exists(os.path.join(exp, "2.ckpt"))
+
+
+class TestOptimizerGroups:
+    def test_groups_build_and_step(self, env, tmp_path):
+        """OPTIMIZER 'groups' (reference job_runner.py:385-393: params whose
+        name matches a group key get that group's overrides) builds an
+        optax.multi_transform whose per-group lrs follow the scheduler."""
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_groups"
+        settings.NUM_EPOCHS = 1
+        settings.OPTIMIZER = {"method": "torch.optim.Adam", "lr": 0.001,
+                              "groups": {"top_layer": {"lr": 0.01}}}
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        states = runner._lr_states()
+        assert set(states) == {"top_layer", "__default__"}
+        assert float(states["top_layer"].hyperparams["learning_rate"]) == \
+            pytest.approx(0.01)
+        assert float(states["__default__"].hyperparams["learning_rate"]) == \
+            pytest.approx(0.001)
+        runner.run()
+        # the scheduler stepped once; the next train step would run both
+        # groups at their base lr scaled by gamma
+        runner._set_lr(runner.scheduler.lr)
+        states = runner._lr_states()
+        g = runner.scheduler.gamma
+        assert runner.scheduler.steps == 1
+        assert float(states["top_layer"].hyperparams["learning_rate"]) == \
+            pytest.approx(0.01 * g, rel=1e-6)
+        assert float(states["__default__"].hyperparams["learning_rate"]) == \
+            pytest.approx(0.001 * g, rel=1e-6)
 
 
 class TestTolerantMerge:
@@ -156,6 +200,48 @@ class TestEquivarianceTraining:
         rec = pd.read_csv(os.path.join(out, "models", "tiny_aff",
                                        "records.csv"))
         assert np.isfinite(rec["tr_loss"]).all()
+
+
+class TestTrainTrace:
+    def test_trace_dumps_heatmaps_during_training(self, env, tmp_path):
+        """TRACE=True dumps attention heatmap tiles on the first step of
+        each epoch (reference models.py:520-546 train-time trace hook)."""
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_trace"
+        settings.NUM_EPOCHS = 1
+        settings.VAL_EPOCHS = 5
+        settings.TRACE = True
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        runner.run()
+        trace_root = os.path.join(out, "debug", "tiny_trace", "train_trace")
+        assert os.path.isdir(trace_root)
+        dumps = []
+        for root, _, files in os.walk(trace_root):
+            dumps.extend(os.path.join(root, f) for f in files)
+        assert any(f.endswith(".jpg") for f in dumps), dumps
+
+    def test_aff_trace_writes_transform_params(self, env, tmp_path):
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_trace_aff"
+        settings.NUM_EPOCHS = 1
+        settings.VAL_EPOCHS = 5
+        settings.TRACE = True
+        settings.LOSS_FACTORS = [2.0, 1.0, 0.5]
+        settings.LOSS_FUNC = {"method": "metrics.IntRegAffRefineLoss",
+                              "band_width": 1e-2, "smoothing": 0.1,
+                              "rescale_jitter": None}
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        runner.run()
+        trace_root = os.path.join(out, "debug", "tiny_trace_aff",
+                                  "train_trace")
+        found = []
+        for root, _, files in os.walk(trace_root):
+            found.extend(f for f in files if f == "transform.txt")
+        assert found
 
 
 class TestDeterminism:
