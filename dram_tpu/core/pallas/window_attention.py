@@ -318,7 +318,9 @@ def _vjp_bwd(offsets, block_d, interpret, res, ybar):
     G = g_cam.shape[-1]
     offsets = tuple(map(tuple, offsets))
     halo = max(abs(o[0]) for o in offsets)
-    BD = _block_d(D, block_d)
+    # the gradient kernel holds 5 haloed slabs + 3 output blocks in VMEM:
+    # half the forward block depth keeps it inside the 16MB scoped limit
+    BD = _block_d(D, max(1, min(block_d, block_d // 2 or 1)))
 
     theta2 = _layout(theta, B, D, H, W, F)
     phi2p = _zpad(_layout(phi, B, D, H, W, F), halo)

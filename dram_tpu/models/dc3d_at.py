@@ -80,7 +80,7 @@ class DC3DATGeneric(nn.Module):
             merge_type=self.at_merge_type, self_loop=self.at_self_loop,
             connectivity=self.at_connectivity, p_enc_dim=self.at_p_enc_dim,
             dtype=self.dtype,
-            use_pallas=self.use_pallas_attention and not self.train,
+            use_pallas=self.use_pallas_attention,
             name="attention_module")
 
     def apply_attention(self, dense_out, attention_features):
