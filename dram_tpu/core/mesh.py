@@ -21,8 +21,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def best_mesh(axis_name="data", devices=None):
-    """A 1-D mesh over ALL the devices, or None when single-device.
+def maybe_init_distributed():
+    """Initialize jax.distributed for multi-host runs when the environment
+    announces one (TPU pod env vars or an explicit coordinator); no-op and
+    safe on single-host. Call before the first device query."""
+    import os
+    # env sniff BEFORE any jax call: a device query would initialize the
+    # backend and make distributed.initialize() impossible
+    want = any(os.environ.get(k) for k in
+               ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except Exception:
+        return False
+
+
+def best_mesh(axis_name="data", devices=None, dcn_axis=None, dcn_size=None):
+    """A mesh over ALL the devices, or None when single-device.
+
+    Default: a 1-D ('data',) mesh — collectives ride ICI within the slice.
+    With `dcn_axis`, a 2-D (dcn, ici) mesh for multi-host runs: devices are
+    grouped by owning process so the leading axis crosses hosts (DCN) and
+    the trailing axis stays intra-host (ICI); XLA then lowers the leading-
+    axis collectives onto DCN and keeps the heavy traffic on ICI. On a
+    single process (tests), `dcn_size` reshapes the flat device list so
+    the 2-D sharding specs compile and run on a fake mesh.
 
     Batches that don't divide the device count are padded with zero-weight
     rows (`pad_batch`) rather than shrinking the mesh — no chip ever idles
@@ -31,7 +58,23 @@ def best_mesh(axis_name="data", devices=None):
     devices = devices if devices is not None else jax.devices()
     if len(devices) <= 1:
         return None
-    return Mesh(np.asarray(devices), (axis_name,))
+    if dcn_axis is None:
+        return Mesh(np.asarray(devices), (axis_name,))
+    import collections
+    groups = collections.defaultdict(list)
+    for d in devices:
+        groups[getattr(d, "process_index", 0)].append(d)
+    if dcn_size is None:
+        dcn_size = len(groups)
+    if len(groups) == dcn_size and dcn_size > 1 and \
+            len({len(g) for g in groups.values()}) == 1:
+        arr = np.asarray([groups[k] for k in sorted(groups)])
+    else:
+        if len(devices) % dcn_size:
+            raise ValueError(f"{len(devices)} devices don't split into "
+                             f"{dcn_size} DCN groups")
+        arr = np.asarray(devices).reshape(dcn_size, -1)
+    return Mesh(arr, (dcn_axis, axis_name))
 
 
 def pad_batch(arrays, n_shards):
@@ -55,11 +98,20 @@ def pad_batch(arrays, n_shards):
     return tuple(np.asarray(a)[idx] for a in arrays), weights
 
 
-def shard_batch_arrays(mesh, arrays, axis_name="data"):
-    """device_put each array with its leading (batch) axis sharded."""
+def batch_spec(mesh):
+    """PartitionSpec sharding the leading (batch) axis over EVERY mesh
+    axis — on a (dcn, ici) mesh the batch splits across hosts first, then
+    chips."""
+    return P(tuple(mesh.axis_names))
+
+
+def shard_batch_arrays(mesh, arrays, axis_name=None):
+    """device_put each array with its leading (batch) axis sharded over
+    all mesh axes (or an explicit axis subset)."""
+    names = tuple(mesh.axis_names) if axis_name is None else axis_name
     out = []
     for a in arrays:
-        spec = P(axis_name) if np.ndim(a) >= 1 else P()
+        spec = P(names) if np.ndim(a) >= 1 else P()
         out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec)))
     return tuple(out)
 

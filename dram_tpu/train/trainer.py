@@ -232,7 +232,14 @@ class JobRunner:
         loss_cls = get_callable_by_name(loss_cfg.pop("method"))
         self.loss_func = loss_cls(**loss_cfg)
 
-        self.mesh = best_mesh()
+        # multi-host: a 2-D (dcn, ici) mesh when several processes are
+        # attached (jax.distributed) or DCN_MESH_SIZE forces one; the batch
+        # axis shards over hosts first, then chips (SURVEY §2.7 mesh row)
+        dcn_size = getattr(s, "DCN_MESH_SIZE", None)
+        if dcn_size is None and jax.process_count() > 1:
+            dcn_size = jax.process_count()
+        self.mesh = best_mesh(dcn_axis="dcn" if dcn_size else None,
+                              dcn_size=dcn_size)
         self.n_shards = int(self.mesh.devices.size) \
             if self.mesh is not None else 1
         # DP batch semantics: "pad" (default) keeps the reference global
@@ -354,7 +361,8 @@ class JobRunner:
         donate = (0, 1, 2)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            batch_sharding = NamedSharding(self.mesh, P("data"))
+            from ..core.mesh import batch_spec
+            batch_sharding = NamedSharding(self.mesh, batch_spec(self.mesh))
             repl = NamedSharding(self.mesh, P())
             in_shardings = (repl, repl, repl, batch_sharding, batch_sharding,
                             batch_sharding, batch_sharding, repl,

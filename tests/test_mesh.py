@@ -238,3 +238,99 @@ class TestShardedUNetInference:
         got1_d, _ = overlap_tile_infer(apply_fn, x, lobe, n_tiles=4, halo=24)
         np.testing.assert_allclose(np.asarray(got1_d), np.asarray(want_d),
                                    atol=1e-3)
+
+
+@needs_devices
+class TestDcnIciMesh:
+    def test_2d_mesh_grads_match_single_device(self, rng):
+        """(dcn, ici) 2x4 mesh: batch sharded over hosts-then-chips gives
+        the same loss/grads as the single-device run (multi-host readiness
+        on a fake single-process mesh; SURVEY §2.7 mesh row)."""
+        from dram_tpu.core.mesh import batch_spec, best_mesh
+        from dram_tpu.models import DC3D
+        from dram_tpu.losses import IntRegRefineLoss
+        from jax.sharding import NamedSharding
+
+        mesh = best_mesh(dcn_axis="dcn", dcn_size=2)
+        assert mesh is not None and mesh.devices.shape == (2, 4)
+        assert mesh.axis_names == ("dcn", "data")
+
+        cfg = dict(n_layers=1, in_ch_list=(1, 4, 12), base_ch_list=(2, 4, 4),
+                   end_ch_list=(4, 8, 4), padding_list=((1, 1),) * 3,
+                   checkpoint_layers=(0, 0, 0), kernel_sizes=[(3, 3)] * 3,
+                   stacking=1, norm_method="ln")
+        model = DC3D(**cfg)
+        B = 8
+        x = rng.normal(size=(B, 8, 8, 8, 1)).astype(np.float32)
+        lobes = (rng.random((B, 8, 8, 8, 1)) > 0.3).astype(np.float32)
+        cands = ((rng.random((B, 8, 8, 8, 1)) > 0.7) * lobes).astype(np.float32)
+        ctss = rng.integers(0, 6, B).astype(np.int32)
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+        loss_obj = IntRegRefineLoss()
+
+        def loss_fn(params, images, lo, le, ct):
+            def model_fn(im, l):
+                return model.apply({"params": params}, im, l)
+            reg, seg = loss_obj(model_fn, images, lo, le, ct)
+            return 2.0 * reg + seg
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        l1, g1 = jax.jit(grad_fn)(v["params"], jnp.asarray(x),
+                                  jnp.asarray(lobes), jnp.asarray(cands),
+                                  jnp.asarray(ctss))
+
+        bsh = NamedSharding(mesh, batch_spec(mesh))
+        repl = NamedSharding(mesh, P())
+        jitted = jax.jit(grad_fn, in_shardings=(repl,) + (bsh,) * 4)
+        params_r = replicate(mesh, v["params"])
+        arrs = shard_batch_arrays(mesh, (x, lobes, cands, ctss))
+        l8, g8 = jitted(params_r, *arrs)
+
+        np.testing.assert_allclose(float(l1), float(l8), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+@needs_devices
+class TestSbnShardMap:
+    def test_sbn_batch_stats_are_cross_replica_under_shard_map(self, rng):
+        """'sbn' BatchNorm with an axis_name inside shard_map computes
+        GLOBAL batch statistics: per-shard outputs equal the unsharded
+        BatchNorm over the full batch (the reference's SyncBatchNorm
+        contract, parts.py:32-33)."""
+        import flax.linen as nn
+        from dram_tpu.models.blocks import make_norm
+
+        class SBN(nn.Module):
+            axis_name: str | None = None
+
+            @nn.compact
+            def __call__(self, x):
+                return make_norm("sbn", jnp.float32, self.axis_name)(
+                    use_running_average=False)(x)
+
+        B = 8
+        x = rng.normal(size=(B, 4, 4, 4, 3)).astype(np.float32) * 2 + 1
+        ref_mod = SBN(axis_name=None)
+        v = ref_mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        want, want_stats = ref_mod.apply(
+            v, jnp.asarray(x), mutable=["batch_stats"])
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        sbn_mod = SBN(axis_name="data")
+
+        def local(xb):
+            out, stats = sbn_mod.apply(v, xb, mutable=["batch_stats"])
+            return out, stats["batch_stats"]["BatchNorm_0"]["mean"]
+
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P("data", None, None, None, None),),
+                      out_specs=(P("data", None, None, None, None), P()))
+        got, got_mean = f(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_mean),
+            np.asarray(want_stats["batch_stats"]["BatchNorm_0"]["mean"]),
+            atol=1e-6)

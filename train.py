@@ -14,6 +14,10 @@ from dram_tpu.utils import Settings, get_callable_by_name  # noqa: E402
 
 
 def run_training_job(args):
+    # multi-host pod runs: attach this process to the jax.distributed
+    # coordinator before the first device query (no-op on single host)
+    from dram_tpu.core.mesh import maybe_init_distributed
+    maybe_init_distributed()
     if args.smp is None:
         smp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "dram_tpu", "configs", "st_dram_ref.py")
