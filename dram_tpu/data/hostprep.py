@@ -99,12 +99,33 @@ def lung_crop(iso_lobe, border_vox=8, multiple=32):
     return lo.astype(np.int64), tuple(int(s) for s in size)
 
 
+def window8(iso_scan_int16, span):
+    """Windowed 8-bit wire encoding: u8 = round(255 * clip((v-lo)/(hi-lo))).
+
+    Every device consumer of the scan applies `windowing(span)` first
+    (model input, intensity post rule), and the reference's own Otsu
+    quantizes to uint8 anyway (reference utils.py:226-242), so the wire
+    can carry the windowed value directly — 8 bits/voxel instead of 12.
+    A 4096-entry LUT keeps the host cost at one fancy-index."""
+    lo, hi = float(span[0]), float(span[1])
+    v = np.arange(-2048, 2048, dtype=np.float32)
+    lut = np.clip((v - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+    lut = np.round(lut * 255.0).astype(np.uint8)
+    idx = (np.clip(iso_scan_int16, -2048, 2047).astype(np.int32) + 2048)
+    return lut[idx.reshape(-1)]
+
+
 def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
-              pad_value=-2048, crop_to_lung=True, vessel_u8=None):
+              pad_value=-2048, crop_to_lung=True, vessel_u8=None,
+              windowing_span=None):
     """Full host prep: iso resample + lung crop + pack. Returns a dict
     consumed by FastScanPipeline.process_prepped. Only the lung bounding
     box (plus border) crosses the wire: the lesion mask is provably zero
-    outside it (the heatmap is stitched under lobe masks only)."""
+    outside it (the heatmap is stitched under lobe masks only).
+
+    With `windowing_span`, the scan payload is the windowed 8-bit wire
+    (window8) instead of packed 12-bit HU — 33% fewer bytes on the scan,
+    exact w.r.t. the downstream windowing up to 1/255 quantization."""
     hp = None
     try:
         from ..native import hostprep_native as hp  # C++ fast path
@@ -143,13 +164,24 @@ def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
             iso_vessel = np.ascontiguousarray(iso_vessel[sl])
         iso_shape = crop_shape
 
-    if hp is not None:
+    if windowing_span is not None:
+        packed_scan = window8(iso_scan, windowing_span)
+        n = packed_scan.shape[0]
+        wire = "w8"
+    elif hp is not None:
         packed_scan, n = hp.pack12(iso_scan)
-        packed_lobe, _ = hp.pack4(iso_lobe)
+        wire = "p12"
     else:
         packed_scan, n = pack12(iso_scan)
+        wire = "p12"
+    if hp is not None:
+        packed_lobe, _ = hp.pack4(iso_lobe)
+    else:
         packed_lobe, _ = pack4(iso_lobe)
     return {"packed_scan": packed_scan, "packed_lobe": packed_lobe,
+            "wire": wire,
+            "windowing_span": tuple(windowing_span)
+            if windowing_span is not None else None,
             "iso_shape": tuple(iso_shape), "n_voxels": n,
             "iso_lobe_host": iso_lobe,
             "iso_vessel_host": iso_vessel,

@@ -121,7 +121,8 @@ class LesionSegTest:
         prep = prep_scan(scan_data["#image"].astype(np.int16),
                          scan_data["#lobe_reference"], meta["spacing"],
                          iso_spacing=float(s.TEST_RESAMPLE_SPACING),
-                         pad_value=float(s.PAD_VALUE), vessel_u8=vessel)
+                         pad_value=float(s.PAD_VALUE), vessel_u8=vessel,
+                         windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX))
         out = self._fast().process_prepped(prep, want_heatmap=True)
         cls_preds, cls_targets = [], []
         for li in range(1, 6):

@@ -170,6 +170,26 @@ class FastScanPipeline:
             self._stage1[key] = stage1p
         return self._stage1[key]
 
+    # -- stage 1w: decode windowed 8-bit wire (hostprep.window8) ----------
+    def _get_stage1w(self, iso_shape, n_voxels, span):
+        key = ("w8", iso_shape, n_voxels, span)
+        if key not in self._stage1:
+            lo, hi = float(span[0]), float(span[1])
+
+            @jax.jit
+            def stage1w(packed_scan, packed_lobe):
+                u = packed_scan.astype(jnp.float32)[:n_voxels]
+                # invert the wire quantization back to HU so the stages'
+                # own windowing reproduces u/255 exactly
+                iso_scan = (lo + u * ((hi - lo) / 255.0)).reshape(iso_shape)
+                lb = packed_lobe.astype(jnp.int32)
+                l = jnp.stack([lb >> 4, lb & 0xF], axis=1).reshape(-1)
+                iso_lobe = l[:n_voxels].astype(jnp.uint8).reshape(iso_shape)
+                return iso_scan, iso_lobe
+
+            self._stage1[key] = stage1w
+        return self._stage1[key]
+
     # -- stage 2: batched lobe chunks -> stitched heatmap ----------------
     def _get_stage2(self, iso_shape, bucket):
         key = (iso_shape, bucket)
@@ -418,9 +438,13 @@ class FastScanPipeline:
         over the original-grid lung window and pasted into zeros on host
         (the lesion mask is provably zero outside the window)."""
         iso_shape = prep["iso_shape"]  # cropped iso grid
-        stage1p = self._get_stage1p(iso_shape, prep["n_voxels"])
-        iso_scan, iso_lobe = stage1p(jnp.asarray(prep["packed_scan"]),
-                                     jnp.asarray(prep["packed_lobe"]))
+        if prep.get("wire") == "w8":
+            stage1 = self._get_stage1w(iso_shape, prep["n_voxels"],
+                                       tuple(prep["windowing_span"]))
+        else:
+            stage1 = self._get_stage1p(iso_shape, prep["n_voxels"])
+        iso_scan, iso_lobe = stage1(jnp.asarray(prep["packed_scan"]),
+                                    jnp.asarray(prep["packed_lobe"]))
         border_vox = int(np.ceil(crop_border_mm / prep["iso_spacing"]))
         lows, sizes, present = self._bboxes_from_labels(
             prep["iso_lobe_host"], self.n_lobes, border_vox, iso_shape)
@@ -439,9 +463,14 @@ class FastScanPipeline:
         res = stage3c(htp, iso_scan, iso_lobe, vessel,
                       *[jnp.asarray(t) for t in tables])
         pred_p, post_p, th = res[:3]
+        # unpack=False keeps scalars as device values: no host sync on the
+        # dispatch path (the caller's finish stage fetches them), so the
+        # next scan's prep/H2D overlaps this scan's device tail
         out = {"pred_packed": pred_p, "post_packed": post_p,
-               "heatmap_iso": htp, "threshold": float(th),
-               "ratios": np.asarray(ratio), "present": present,
+               "heatmap_iso": htp,
+               "threshold": float(th) if unpack else th,
+               "ratios": np.asarray(ratio) if unpack else ratio,
+               "present": present,
                "out_shape": out_shape,
                "out_window": (tuple(o_lo), o_shape)}
         sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))

@@ -155,3 +155,42 @@ class TestFastPipelineParity:
         out = fast.process(scan, lobe, (1.0, 1.0, 1.0))
         assert out["pred"].shape == scan.shape
         assert np.isfinite(out["ratios"]).all()
+
+
+class TestW8Wire:
+    def test_window8_roundtrip_matches_windowing(self, rng):
+        """The 8-bit windowed wire decodes to values whose downstream
+        windowing equals u8/255 — within one quantization step of the
+        full-precision windowing (the reference's own Otsu input is uint8,
+        reference utils.py:226-242)."""
+        from dram_tpu.core.ops import windowing_np
+        from dram_tpu.data.hostprep import window8
+        span = (-1000, -700)
+        v = rng.integers(-2048, 2047, size=(9, 9, 9)).astype(np.int16)
+        u8 = window8(v, span).reshape(v.shape)
+        lo, hi = span
+        decoded = lo + u8.astype(np.float32) * ((hi - lo) / 255.0)
+        w_wire = windowing_np(decoded, from_span=span, to_span=(0.0, 1.0))
+        w_full = windowing_np(v.astype(np.float32), from_span=span,
+                              to_span=(0.0, 1.0))
+        np.testing.assert_allclose(w_wire, u8 / 255.0, atol=1e-6)
+        np.testing.assert_allclose(w_wire, w_full, atol=0.5 / 255.0 + 1e-6)
+
+    def test_w8_prepped_path_close_to_p12(self, model_and_params):
+        """Full fast pipeline on the w8 wire vs the 12-bit wire: same
+        masks up to quantization (Dice > 0.98) and near-equal ratios."""
+        from dram_tpu.data.hostprep import prep_scan
+        rng = np.random.default_rng(4)
+        scan, lobe, *_ = _synth_scan(rng, (32, 40, 40))
+        model, params, batch_stats = model_and_params
+        span = (-1000, -300)
+        fast = FastScanPipeline(model, params, batch_stats, chunk_size=CHUNK,
+                                windowing_span=span)
+        spacing = (1.0, 1.0, 1.0)
+        a = fast.process_prepped(prep_scan(scan, lobe, spacing))
+        b = fast.process_prepped(prep_scan(scan, lobe, spacing,
+                                           windowing_span=span))
+        inter = np.logical_and(a["pred"] > 0, b["pred"] > 0).sum()
+        denom = (a["pred"] > 0).sum() + (b["pred"] > 0).sum()
+        assert denom == 0 or 2 * inter / denom > 0.98
+        np.testing.assert_allclose(a["ratios"], b["ratios"], atol=5e-3)
