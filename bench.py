@@ -59,12 +59,17 @@ def main():
     span = (-1000, -700)
     n_scans = int(os.environ.get("BENCH_SCANS", "6"))
 
-    scans = [synth_scan(shape, seed=s) for s in range(2)]
+    # overlap: synth of scan 1 on a worker while the (remote-compile-bound)
+    # pipeline build + warmup run
+    setup_pool = ThreadPoolExecutor(1)
+    scan1_f = setup_pool.submit(synth_scan, shape, 1)
+    scans = [synth_scan(shape, seed=0)]
     pipe = build_pipeline()
 
     # warmup: compile all stages on the first scan
     prep0 = prep_scan(*scans[0], spacing, windowing_span=span)
     out = pipe.process_prepped(prep0, unpack=True)
+    scans.append(scan1_f.result())
     assert out["pred"].shape == shape
     print(f"# setup+compile {time.time() - t_setup:.1f}s; "
           f"pred voxels {int(out['pred'].sum())}", file=sys.stderr)

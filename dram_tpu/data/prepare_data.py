@@ -121,7 +121,12 @@ def _synth_scan(rng, size, n_lobes=5, lesion_severity=None):
     scan[vessel > 0] = -100
     scan[lesion > 0] = -350
     lesion &= lobe > 0
-    scan = (scan + rng.normal(0, 10, size)).astype(np.int16)
+    # tiled small-block noise: RNG cost O(64^3) instead of O(D*H*W) — for
+    # full-scan sizes the gaussian draw dominated generation time
+    tile = rng.normal(0, 10, (min(D, 64), min(H, 64), min(W, 64)))
+    reps = [-(-s // t) for s, t in zip(size, tile.shape)]
+    noise = np.tile(tile, reps)[:D, :H, :W]
+    scan = (scan + noise).astype(np.int16)
     return scan, lobe, lesion, vessel, severities
 
 
