@@ -93,6 +93,30 @@ def _as_list(v, n):
     return [v] * n
 
 
+class PallasConv3d(nn.Module):
+    """Drop-in for nn.Conv on the k=3^3 / stride-1 / SAME configuration:
+    identical parameter tree (kernel [, bias]), but the convolution runs on
+    the fused Pallas kernel (core/pallas/conv3d.py) — checkpoints swap
+    freely between the XLA and Pallas paths."""
+
+    features: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..core.pallas.conv3d import conv3d_pallas
+        ci = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal_conv,
+                            (3, 3, 3, ci, self.features), jnp.float32)
+        y = conv3d_pallas(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", constant(0.01), (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvStack(nn.Module):
     """N x (Conv3d -> norm -> act [-> dropout]) shared by all blocks."""
 
@@ -107,24 +131,32 @@ class ConvStack(nn.Module):
     train: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ..core.pallas.conv3d import supported as pallas_conv_ok
         norm_factory = make_norm(self.norm_method, self.dtype, self.axis_name)
         act = make_act(self.act_method)
         for i, feat in enumerate(self.features):
             k = self.kernel_sizes[i]
             p = self.paddings[i]
             s = self.strides[i]
-            x = nn.Conv(features=feat,
-                        kernel_size=(k, k, k),
-                        strides=(s, s, s),
-                        padding=[(p, p)] * 3,
-                        use_bias=self.use_bias,
-                        kernel_init=kaiming_normal_conv,
-                        bias_init=constant(0.01),
-                        dtype=self.dtype,
-                        name=f"conv_{i}")(x)
+            if self.use_pallas_conv and pallas_conv_ok(
+                    x.shape, (k, k, k), (s, s, s),
+                    ((p, p), (p, p), (p, p))):
+                x = PallasConv3d(features=feat, use_bias=self.use_bias,
+                                 dtype=self.dtype, name=f"conv_{i}")(x)
+            else:
+                x = nn.Conv(features=feat,
+                            kernel_size=(k, k, k),
+                            strides=(s, s, s),
+                            padding=[(p, p)] * 3,
+                            use_bias=self.use_bias,
+                            kernel_init=kaiming_normal_conv,
+                            bias_init=constant(0.01),
+                            dtype=self.dtype,
+                            name=f"conv_{i}")(x)
             norm = norm_factory(use_running_average=not self.train)
             if norm is not None:
                 x = norm(x)
@@ -149,6 +181,7 @@ class ConvBlock5d(nn.Module):
     train: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -159,7 +192,8 @@ class ConvBlock5d(nn.Module):
                          _as_list(self.strides, n),
                          self.use_bias, self.norm_method, self.act_method,
                          self.dropout, self.train, self.dtype,
-                         self.axis_name, name="convs")(x)
+                         self.axis_name, self.use_pallas_conv,
+                         name="convs")(x)
 
 
 class ConvPoolBlock5d(nn.Module):
@@ -177,6 +211,7 @@ class ConvPoolBlock5d(nn.Module):
     train: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -187,7 +222,8 @@ class ConvPoolBlock5d(nn.Module):
                       [1] * n,
                       self.use_bias, self.norm_method, self.act_method,
                       self.dropout, self.train, self.dtype,
-                      self.axis_name, name="convs")(x)
+                      self.axis_name, self.use_pallas_conv,
+                      name="convs")(x)
         pooled = nn.max_pool(y, window_shape=(self.pool_size,) * 3,
                              strides=(self.pool_strides,) * 3)
         return y, pooled
@@ -213,6 +249,7 @@ class UpsampleConvBlock5d(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     local_upsample: bool = False
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
@@ -233,4 +270,5 @@ class UpsampleConvBlock5d(nn.Module):
                          [1] * n,
                          self.use_bias, self.norm_method, self.act_method,
                          self.dropout, self.train, self.dtype,
-                         self.axis_name, name="convs")(x)
+                         self.axis_name, self.use_pallas_conv,
+                         name="convs")(x)

@@ -55,6 +55,7 @@ class DC3DATGeneric(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     use_pallas_attention: bool = False
+    use_pallas_conv: bool = False
 
     def setup(self):
         self.backbone = DC3D(
@@ -64,6 +65,7 @@ class DC3DATGeneric(nn.Module):
             checkpoint_layers=self.checkpoint_layers, dropout=self.dropout,
             upsample_ksize=self.upsample_ksize, upsample_sf=self.upsample_sf,
             kernel_sizes=self.kernel_sizes, stacking=self.stacking,
+            use_pallas_conv=self.use_pallas_conv,
             norm_method=self.norm_method, act_method=self.act_method,
             pooling_method=self.pooling_method, out_cls_ch=self.out_cls_ch,
             train=self.train, dtype=self.dtype, axis_name=self.axis_name)

@@ -55,6 +55,8 @@ class DC3D(nn.Module):
     # strictly local 2x upsampling (exact overlap-tile spatial sharding);
     # False keeps reference align-corners parity
     local_upsample: bool = False
+    # fused Pallas conv3d on supported shapes (TPU; same param tree)
+    use_pallas_conv: bool = False
 
     def setup(self):
         ks = (list(self.kernel_sizes) if self.kernel_sizes is not None
@@ -63,7 +65,8 @@ class DC3D(nn.Module):
         common = dict(use_bias=conv_bias, norm_method=self.norm_method,
                       act_method=self.act_method, dropout=self.dropout,
                       train=self.train, dtype=self.dtype,
-                      axis_name=self.axis_name)
+                      axis_name=self.axis_name,
+                      use_pallas_conv=self.use_pallas_conv)
 
         self.ds_modules = [
             _block_cls(ConvPoolBlock5d, self.checkpoint_layers[i] > 0)(
