@@ -29,8 +29,10 @@ def build_pipeline(chunk=(80, 80, 80), at=(64, 64, 64), dtype="bfloat16"):
     from dram_tpu.infer.fast import FastScanPipeline
     from dram_tpu.models import DC3DATGeneric
 
+    on_tpu = jax.default_backend() == "tpu"
     model = DC3DATGeneric(train=False, at_spatial_size=at,
-                          use_pallas_attention=jax.default_backend() == "tpu",
+                          use_pallas_attention=on_tpu,
+                          use_pallas_conv=on_tpu,
                           dtype=jnp.bfloat16 if dtype == "bfloat16"
                           else jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),

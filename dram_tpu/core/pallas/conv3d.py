@@ -39,10 +39,15 @@ _OFFS = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
          for dx in (-1, 0, 1)]
 
 
-def _plane_valid(H, W, dy, dx, dtype):
-    """(1, H*W) mask: in-plane neighbour (y+dy, x+dx) inside the plane."""
-    iy = jax.lax.broadcasted_iota(jnp.int32, (1, H * W), 1) // W
-    ix = jax.lax.broadcasted_iota(jnp.int32, (1, H * W), 1) % W
+def _plane_valid(H, W, M, dy, dx, dtype):
+    """(1, M) mask: in-plane neighbour (y+dy, x+dx) inside the plane.
+
+    M >= H*W is the lane-padded plane length; pad positions get iy >= H
+    so every offset with dy >= 0 masks them, and for dy == -1 they are
+    only ever *read* via rolls whose target position is itself masked
+    (requires pad == 0 or pad >= W+1, enforced by supported())."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) // W
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) % W
     m = ((iy + dy >= 0) & (iy + dy < H) & (ix + dx >= 0) & (ix + dx < W))
     return m.astype(dtype)
 
@@ -57,16 +62,8 @@ def _roll_lanes(x, s):
     return jnp.concatenate([x[..., s:], x[..., :s]], axis=-1)
 
 
-def _shifted(slab, dz, dy, dx, H, W, BD_index):
-    """Neighbour plane x[z+dz, :, p + dy*W+dx] for the output row, masked
-    to zero outside the plane. slab: (BD+2, C, H*W) with z padding 1."""
-    base = slab[BD_index + dz + 1]  # (C, H*W)
-    rolled = _roll_lanes(base, dy * W + dx)
-    return rolled * _plane_valid(H, W, dy, dx, base.dtype)
-
-
 def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
-                H, W, Ci, Co, BD):
+                H, W, M, Ci, Co, BD):
     """Forward: dx via a K=3*Ci patch, dz via slab rows, dy via 3 output
     rolls (an output roll moves the small (Co, H*W) plane instead of 9
     input planes — VPU copies are the kernel's second-order cost)."""
@@ -81,12 +78,12 @@ def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
         row = slab[r]
         for k, dx in enumerate((-1, 0, 1)):
             patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
-                _plane_valid(H, W, 0, dx, row.dtype)
+                _plane_valid(H, W, M, 0, dx, row.dtype)
 
     for r in range(BD):
         acc[:] = jnp.zeros_like(acc)
         for dyi, dy in enumerate((-1, 0, 1)):
-            v = jnp.zeros((Co, H * W), jnp.float32)
+            v = jnp.zeros((Co, M), jnp.float32)
             for dzi in range(3):
                 v += jax.lax.dot_general(
                     w[dzi * 3 + dyi], patch[r + dzi],
@@ -94,15 +91,25 @@ def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
                     preferred_element_type=jnp.float32)  # (Co, H*W)
             # out[y] += v[y + dy], zero where y + dy leaves the plane
             acc[:] += _roll_lanes(v, dy * W) * \
-                _plane_valid(H, W, dy, 0, jnp.float32)
+                _plane_valid(H, W, M, dy, 0, jnp.float32)
         out_ref[r] = acc[:].astype(out_ref.dtype)
 
 
-def _dw_kernel(x_hbm, dy_hbm, dw_ref, slab, dyb, sems, semd, *,
-               H, W, Ci, Co, BD):
-    """dW[o] = sum over voxels of x_shift[o] (Ci, M) @ dy (M, Co);
-    offset-major grid, accumulated across the (b, z) minor dims."""
-    o, b, z = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _dw_kernel(x_hbm, dy_hbm, dw_ref, patch, dyb, slab, sems, semd, *,
+               H, W, M, Ci, Co, BD):
+    """All 27 offsets' dW contributions per slab load (same HBM traffic
+    as the forward; the round-1 offset-major grid re-read x and dy 27x).
+
+    dW[dz,dy,dx] = sum_p X[p + dz,dy,dx] . DY[p]. The dx shifts ride the
+    forward's (3*Ci, M) x-patch; the dy shift moves to the DY side
+    (dot(roll(P, dyW), yv*DY) == dot(P, roll(yv*DY, -dyW)) — the patch's
+    x-validity mask is invariant under W-multiple rolls). Per row: 3
+    masked DY rolls + 9 dots (3Ci, M)x(Co, M) -> (3Ci, Co).
+
+    Both HBM operands ride plane-minor ((.., C, H*W)): Mosaic requires
+    manual-DMA slices to keep a 128-aligned minor dim, which channel
+    counts (32-256) don't satisfy but H*W (multiples of 128) does."""
+    b, z = pl.program_id(0), pl.program_id(1)
     cp1 = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z * BD, BD + 2)], slab,
                                 sems)
     cp2 = pltpu.make_async_copy(dy_hbm.at[b, pl.ds(z * BD, BD)], dyb, semd)
@@ -111,30 +118,26 @@ def _dw_kernel(x_hbm, dy_hbm, dw_ref, slab, dyb, sems, semd, *,
     cp1.wait()
     cp2.wait()
 
-    # offset decoded from the traced grid index: dynamic slab row + roll
-    dz = o // 9 - 1
-    dy_ = (o % 9) // 3 - 1
-    dx = o % 3 - 1
-    iy = jax.lax.broadcasted_iota(jnp.int32, (1, H * W), 1) // W
-    ix = jax.lax.broadcasted_iota(jnp.int32, (1, H * W), 1) % W
-    valid = ((iy + dy_ >= 0) & (iy + dy_ < H) &
-             (ix + dx >= 0) & (ix + dx < W))
-    shift = jnp.mod(-(dy_ * W + dx), H * W)
-
     @pl.when(jnp.logical_and(b == 0, z == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    acc = jnp.zeros((Ci, Co), jnp.float32)
+    # dx patches for every slab row (identical layout to the forward)
+    for r in range(BD + 2):
+        row = slab[r]
+        for k, dx in enumerate((-1, 0, 1)):
+            patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
+                _plane_valid(H, W, M, 0, dx, row.dtype)
+
     for r in range(BD):
-        base = slab[pl.ds(r + 1 + dz, 1)][0]             # (Ci, H*W)
-        # traced shift -> dynamic_rotate, which only lowers for f32
-        xs = pltpu.roll(base.astype(jnp.float32), shift, 1) * \
-            valid.astype(jnp.float32)
-        acc += jax.lax.dot_general(
-            xs, dyb[r].astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (Ci, Co)
-    dw_ref[:] += acc
+        for dyi, dy_ in enumerate((-1, 0, 1)):
+            dyr = _roll_lanes(
+                dyb[r] * _plane_valid(H, W, M, dy_, 0, dyb.dtype),
+                -dy_ * W)                                 # (Co, M)
+            for dzi in range(3):
+                dw_ref[dzi, dyi] += jax.lax.dot_general(
+                    patch[r + dzi], dyr, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (3Ci, Co)
 
 
 def _block_d_for(Ci, H, W, budget_bytes=6 * 1024 * 1024):
@@ -143,27 +146,36 @@ def _block_d_for(Ci, H, W, budget_bytes=6 * 1024 * 1024):
     return int(min(bd, 8))
 
 
-def _to_cp(x, B, D, H, W, C):
-    """(B,D,H,W,C) -> z-padded (B, D+2, C, H*W), dtype preserved (bf16
-    inputs stay bf16 through DMA and MXU feeds; accumulation is f32)."""
+def _plane_pad(HW):
+    """Lane-padded plane length: the tiled HBM layout pads the minor dim
+    to 128 anyway; padding explicitly (with zeros) keeps manual DMAs
+    tile-aligned and the pad lanes provably masked."""
+    return -(-HW // 128) * 128
+
+
+def _to_cp(x, B, D, H, W, C, M):
+    """(B,D,H,W,C) -> z-padded, lane-padded (B, D+2, C, M), dtype
+    preserved (bf16 stays bf16 through DMA and MXU feeds; f32 accum)."""
     x = jnp.transpose(x.reshape(B, D, H * W, C), (0, 1, 3, 2))
-    return jnp.pad(x, [(0, 0), (1, 1), (0, 0), (0, 0)])
+    return jnp.pad(x, [(0, 0), (1, 1), (0, 0), (0, M - H * W)])
 
 
 def _fwd_impl(x, w, interpret):
     B, D, H, W, Ci = x.shape
     Co = w.shape[-1]
-    xp = _to_cp(x, B, D, H, W, Ci)
+    M = _plane_pad(H * W)
+    xp = _to_cp(x, B, D, H, W, Ci, M)
     # (9, Co, 3*Ci): [dz*3+dy][co, dx*Ci+ci] = w[dz,dy,dx,ci,co]
     wk = jnp.transpose(w.astype(x.dtype), (0, 1, 4, 2, 3)).reshape(
         9, Co, 3 * Ci)
 
-    # patch scratch is the VMEM governor: (BD+2) rows of (3*Ci, H*W)
-    per_row = 3 * Ci * H * W * x.dtype.itemsize
+    # patch scratch is the VMEM governor: (BD+2) rows of (3*Ci, M)
+    per_row = 3 * Ci * M * x.dtype.itemsize
     BD = int(max(1, min(8, (48 * 1024 * 1024) // per_row - 2)))
     while D % BD:
         BD -= 1
-    kernel = functools.partial(_fwd_kernel, H=H, W=W, Ci=Ci, Co=Co, BD=BD)
+    kernel = functools.partial(_fwd_kernel, H=H, W=W, M=M, Ci=Ci, Co=Co,
+                               BD=BD)
     out = pl.pallas_call(
         kernel,
         grid=(B, D // BD),
@@ -171,21 +183,22 @@ def _fwd_impl(x, w, interpret):
             pl.BlockSpec((9, Co, 3 * Ci), lambda b, z: (0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((None, BD, Co, H * W),
+        out_specs=pl.BlockSpec((None, BD, Co, M),
                                lambda b, z: (b, z, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, D, Co, H * W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D, Co, M), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Co, H * W), jnp.float32),
-            pltpu.VMEM((BD + 2, 3 * Ci, H * W), x.dtype),
-            pltpu.VMEM((BD + 2, Ci, H * W), x.dtype),
+            pltpu.VMEM((Co, M), jnp.float32),
+            pltpu.VMEM((BD + 2, 3 * Ci, M), x.dtype),
+            pltpu.VMEM((BD + 2, Ci, M), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(wk, xp)
-    # (B, D, Co, H*W) -> NDHWC
-    return jnp.transpose(out, (0, 1, 3, 2)).reshape(B, D, H, W, Co)
+    # (B, D, Co, M) -> NDHWC (dropping the lane pad)
+    return jnp.transpose(out[..., :H * W], (0, 1, 3, 2)).reshape(
+        B, D, H, W, Co)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -213,25 +226,33 @@ def _vjp_bwd(interpret, res, dy):
     Co = w.shape[-1]
     dx = _fwd_impl(dy, _flip_w(w), interpret).astype(x.dtype)
 
-    xp = _to_cp(x, B, D, H, W, Ci)
-    dyp = dy.reshape(B, D, H * W, Co)
+    M = _plane_pad(H * W)
+    xp = _to_cp(x, B, D, H, W, Ci, M)
+    # plane-minor dy: (B, D, Co, M) keeps the DMA minor dim 128-aligned
+    dyp = jnp.pad(jnp.transpose(dy.reshape(B, D, H * W, Co), (0, 1, 3, 2)),
+                  [(0, 0), (0, 0), (0, 0), (0, M - H * W)])
 
-    BD = _block_d_for(Ci + Co, H, W)
+    # VMEM governor: patch (3Ci) + slab (Ci) + dyb (Co) rows, + dw accum
+    per_row = (4 * Ci + Co) * M * x.dtype.itemsize
+    dw_bytes = 9 * 3 * Ci * Co * 4
+    BD = int(max(1, min(8, (44 * 1024 * 1024 - dw_bytes) // per_row - 2)))
     while D % BD:
         BD -= 1
-    kernel = functools.partial(_dw_kernel, H=H, W=W, Ci=Ci, Co=Co, BD=BD)
+    kernel = functools.partial(_dw_kernel, H=H, W=W, M=M, Ci=Ci, Co=Co,
+                               BD=BD)
     dw = pl.pallas_call(
         kernel,
-        grid=(27, B, D // BD),
+        grid=(B, D // BD),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((None, Ci, Co), lambda o, b, z: (o, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((27, Ci, Co), jnp.float32),
+        out_specs=pl.BlockSpec((3, 3, 3 * Ci, Co), lambda b, z: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * Ci, Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BD + 2, Ci, H * W), x.dtype),
-            pltpu.VMEM((BD, H * W, Co), dy.dtype),
+            pltpu.VMEM((BD + 2, 3 * Ci, M), x.dtype),
+            pltpu.VMEM((BD, Co, M), dy.dtype),
+            pltpu.VMEM((BD + 2, Ci, M), x.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -239,6 +260,7 @@ def _vjp_bwd(interpret, res, dy):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, dyp)
+    # (3, 3, 3*Ci, Co): dx-major blocks of Ci -> (dz, dy, dx, ci, co)
     dw = dw.reshape(3, 3, 3, Ci, Co).astype(w.dtype)
     return dx, dw
 
@@ -248,12 +270,14 @@ conv3d_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 def supported(x_shape, kernel_size, strides, padding):
     """The kernel covers the DC3D conv configuration: k=3^3, stride 1,
-    SAME ('(1,1)' symmetric) padding, and a plane that fills whole lane
-    tiles (H*W % 128 == 0 — true for the hot 80^2/40^2 planes; smaller
-    planes stay on XLA, they are cheap there)."""
+    SAME ('(1,1)' symmetric) padding. Planes are lane-padded to 128;
+    safe when the pad is 0 or at least W+1 (the largest roll), so every
+    pad-lane read lands on a masked position — true for all DC3D planes
+    (80^2 pad 0, 40^2 pad 64 >= 41, 20^2 pad 112 >= 21)."""
     H, W = x_shape[-3], x_shape[-2]
+    pad = (-(H * W)) % 128
     return (tuple(kernel_size) == (3, 3, 3)
             and tuple(strides) == (1, 1, 1)
-            and (H * W) % 128 == 0
+            and (pad == 0 or pad >= W + 1)
             and x_shape[-1] >= 8  # sub-sublane-tile channel counts -> XLA
             and padding in ("SAME", ((1, 1), (1, 1), (1, 1))))

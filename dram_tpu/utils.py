@@ -102,6 +102,22 @@ _ALIASES = {
 }
 
 
+def select_platform(platform=None):
+    """Honour $DRAM_PLATFORM ("cpu" / "tpu") before backend init.
+
+    Some TPU plugins register themselves via sitecustomize and ignore the
+    JAX_PLATFORMS env var, so the config knob is the only reliable
+    override — and it only works before the first backend query. Called
+    by every entry point; a no-op when the variable is unset.
+    """
+    import jax
+
+    p = platform or os.environ.get("DRAM_PLATFORM")
+    if p:
+        jax.config.update("jax_platforms", p)
+    return p
+
+
 def enable_compilation_cache(path=None, min_compile_secs=0.5):
     """Turn on JAX's persistent XLA compilation cache.
 

@@ -13,6 +13,8 @@ Usage:
 """
 
 from dram_tpu.data.prepare_data import main
+from dram_tpu.utils import select_platform
 
 if __name__ == "__main__":
+    select_platform()
     main()

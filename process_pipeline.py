@@ -14,8 +14,10 @@ from argparse import ArgumentParser
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dram_tpu.utils import Settings  # noqa: E402
+from dram_tpu.utils import Settings, select_platform  # noqa: E402
 from dram_tpu.infer.engine import LesionSegTest  # noqa: E402
+
+select_platform()
 
 
 def run_testing_job(args):

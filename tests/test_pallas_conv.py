@@ -19,6 +19,7 @@ class TestConvForward:
         ((4, 4, 8), 3, 5),     # narrow: patch variant
         ((6, 2, 4), 1, 4),     # single input channel (first layer)
         ((4, 4, 4), 130, 6),   # wide: offset-loop variant
+        ((4, 40, 40), 8, 8),   # lane-padded plane (1600 -> 1664, pad 64)
     ])
     def test_matches_xla(self, shape, ci, co, rng):
         x = jnp.asarray(rng.normal(size=(2, *shape, ci)).astype(np.float32))
@@ -56,6 +57,7 @@ class TestConvVJP:
     @pytest.mark.parametrize("shape,ci,co", [
         ((4, 4, 8), 3, 5),
         ((4, 4, 4), 130, 6),
+        ((4, 40, 40), 8, 8),   # lane-padded plane
     ])
     def test_grads_match_xla(self, shape, ci, co, rng):
         x = jnp.asarray(rng.normal(size=(2, *shape, ci)).astype(np.float32))
@@ -85,10 +87,13 @@ class TestSupported:
         assert supported((1, 80, 80, 80, 32), (3, 3, 3), (1, 1, 1), "SAME")
         assert supported((1, 80, 80, 80, 32), (3, 3, 3), (1, 1, 1),
                          ((1, 1), (1, 1), (1, 1)))
-        # 40^2 = 1600 and 20^2 = 400 lanes don't tile 128; stay on XLA
-        assert not supported((1, 40, 40, 40, 64), (3, 3, 3), (1, 1, 1),
-                             "SAME")
-        assert not supported((1, 20, 20, 20, 128), (3, 3, 3), (1, 1, 1),
+        # lane-padded planes: 40^2 (pad 64 >= 41) and 20^2 (pad 112 >= 21)
+        # are covered; a pad smaller than W+1 is not (127^2: pad 127 < 128)
+        assert supported((1, 40, 40, 40, 64), (3, 3, 3), (1, 1, 1),
+                         "SAME")
+        assert supported((1, 20, 20, 20, 128), (3, 3, 3), (1, 1, 1),
+                         "SAME")
+        assert not supported((1, 127, 127, 127, 32), (3, 3, 3), (1, 1, 1),
                              "SAME")
         assert not supported((1, 80, 80, 80, 32), (5, 5, 5), (1, 1, 1),
                              "SAME")

@@ -10,7 +10,10 @@ from argparse import ArgumentParser
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dram_tpu.utils import Settings, get_callable_by_name  # noqa: E402
+from dram_tpu.utils import (Settings, get_callable_by_name,  # noqa: E402
+                            select_platform)
+
+select_platform()
 
 
 def run_training_job(args):
