@@ -43,15 +43,32 @@ def build_pipeline(chunk=(80, 80, 80), at=(64, 64, 64), dtype="bfloat16"):
 
 
 def synth_scan(shape=(400, 512, 512), seed=0):
+    """Synthetic thorax scan; disk-cached (~40 s to synthesize, ~1 s to
+    load) — setup cost, not part of the timed throughput loop."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    path = os.path.join(cache, "synth_%s_%d.npz"
+                        % ("x".join(map(str, shape)), seed))
+    try:
+        with np.load(path) as z:
+            return z["scan"], z["lobe"]
+    except Exception:
+        pass
     from dram_tpu.data.prepare_data import _synth_scan
     rng = np.random.default_rng(seed)
     scan, lobe, lesion, vessel, sev = _synth_scan(
         rng, shape, lesion_severity=[3, 4, 2, 5, 3])
+    try:
+        os.makedirs(cache, exist_ok=True)
+        np.savez(path, scan=scan, lobe=lobe)
+    except Exception:
+        pass
     return scan, lobe
 
 
 def main():
     from dram_tpu.data.hostprep import prep_scan
+    from dram_tpu.infer.fast import prep_scan_chunks
     from dram_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -60,6 +77,8 @@ def main():
     spacing = (0.8, 0.7, 0.7)
     span = (-1000, -700)
     n_scans = int(os.environ.get("BENCH_SCANS", "6"))
+    # "wc" (default): host-extracted chunk wire, ~4x less H2D than "w8"
+    wire = os.environ.get("BENCH_WIRE", "wc")
 
     # overlap: synth of scan 1 on a worker while the (remote-compile-bound)
     # pipeline build + warmup run
@@ -68,26 +87,36 @@ def main():
     scans = [synth_scan(shape, seed=0)]
     pipe = build_pipeline()
 
+    import jax
+
+    def prep_and_upload(scan, lobe):
+        if wire == "wc":
+            prep = prep_scan_chunks(scan, lobe, spacing,
+                                    windowing_span=span)
+            for k in ("x80_u8", "lobe_bits", "cand_bits"):
+                prep[k] = jax.device_put(prep[k])
+        else:
+            prep = prep_scan(scan, lobe, spacing, windowing_span=span)
+            prep["packed_scan"] = jax.device_put(prep["packed_scan"])
+            prep["packed_lobe"] = jax.device_put(prep["packed_lobe"])
+        return prep
+
+    def run_device(prep, unpack):
+        if wire == "wc":
+            return pipe.process_chunks(prep, unpack=unpack)
+        return pipe.process_prepped(prep, unpack=unpack)
+
     # warmup: compile all stages on the first scan
-    prep0 = prep_scan(*scans[0], spacing, windowing_span=span)
-    out = pipe.process_prepped(prep0, unpack=True)
+    out = run_device(prep_and_upload(*scans[0]), True)
     scans.append(scan1_f.result())
     assert out["pred"].shape == shape
     print(f"# setup+compile {time.time() - t_setup:.1f}s; "
           f"pred voxels {int(out['pred'].sum())}", file=sys.stderr)
 
-    # throughput, 3-stage software pipeline: a prep thread resamples+packs
-    # and starts the async H2D for scan k+1 while the device runs scan k,
-    # and the packed-mask D2H + host unpack of scan k-1 finishes on a
-    # second thread
-    import jax
-
-    def prep_and_upload(scan, lobe):
-        prep = prep_scan(scan, lobe, spacing, windowing_span=span)
-        prep["packed_scan"] = jax.device_put(prep["packed_scan"])
-        prep["packed_lobe"] = jax.device_put(prep["packed_lobe"])
-        return prep
-
+    # throughput, 3-stage software pipeline: prep workers resample+pack
+    # and start the async H2D for upcoming scans while the device runs
+    # the current one; the packed-mask D2H + host unpack of scan k-1
+    # finishes on its own thread
     def finish(out):
         from dram_tpu.core.ops import unpackbits_np
         lo, oshape = out["out_window"]
@@ -96,20 +125,24 @@ def main():
         pred[sl] = unpackbits_np(np.asarray(out["pred_packed"]), oshape)
         return int(pred[0, 0, 0] >= 0)
 
-    pool = ThreadPoolExecutor(2)
+    prep_pool = ThreadPoolExecutor(2)
+    finish_pool = ThreadPoolExecutor(1)
     t0 = time.time()
-    nxt = pool.submit(prep_and_upload, *scans[0])
+    depth = 2
+    queue = [prep_pool.submit(prep_and_upload, *scans[k % len(scans)])
+             for k in range(min(depth, n_scans))]
     pending = None
     done = 0
     marks = []
     for k in range(n_scans):
-        prep = nxt.result()
-        if k + 1 < n_scans:
-            nxt = pool.submit(prep_and_upload, *scans[(k + 1) % len(scans)])
-        out = pipe.process_prepped(prep, unpack=False)
+        prep = queue.pop(0).result()
+        if k + depth < n_scans:
+            queue.append(prep_pool.submit(
+                prep_and_upload, *scans[(k + depth) % len(scans)]))
+        out = run_device(prep, False)
         if pending is not None:
             done += pending.result()
-        pending = pool.submit(finish, out)
+        pending = finish_pool.submit(finish, out)
         marks.append(time.time())
     done += pending.result()
     marks[-1] = time.time()

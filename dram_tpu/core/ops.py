@@ -93,21 +93,31 @@ def otsu_threshold_u8(values, mask=None):
     return jnp.clip(jnp.where(vmin >= vmax, vmin, th), 0.0, 255.0)
 
 
-def otsu_threshold_u8_np(values_u8):
-    """Host twin of `otsu_threshold_u8` on already-quantized uint8 data:
-    the exact skimage.threshold_otsu algorithm over the observed range."""
-    v = np.asarray(values_u8).astype(np.uint8).ravel()
-    vmin, vmax = int(v.min()), int(v.max())
+def otsu_threshold_from_hist(counts256):
+    """Otsu threshold from a 256-bin histogram of uint8 data (same math as
+    `otsu_threshold_u8_np`); None for an empty histogram."""
+    counts256 = np.asarray(counts256, np.float64)
+    nz = np.nonzero(counts256)[0]
+    if len(nz) == 0:
+        return None
+    vmin, vmax = int(nz[0]), int(nz[-1])
     if vmin == vmax:
         return float(vmin)
     centers = np.arange(vmin, vmax + 1, dtype=np.float64)
-    counts = np.bincount(v - vmin, minlength=vmax - vmin + 1).astype(np.float64)
+    counts = counts256[vmin:vmax + 1]
     w1 = np.cumsum(counts)
     w2 = np.cumsum(counts[::-1])[::-1]
     m1 = np.cumsum(counts * centers) / w1
     m2 = (np.cumsum((counts * centers)[::-1]) / w2[::-1])[::-1]
     var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
     return float(centers[:-1][np.argmax(var12)])
+
+
+def otsu_threshold_u8_np(values_u8):
+    """Host twin of `otsu_threshold_u8` on already-quantized uint8 data:
+    the exact skimage.threshold_otsu algorithm over the observed range."""
+    v = np.asarray(values_u8).astype(np.uint8).ravel()
+    return otsu_threshold_from_hist(np.bincount(v, minlength=256))
 
 
 def binary_cam_np(values, scaler=1.0, from_span=(0, 1)):
@@ -250,6 +260,18 @@ def packbits_u8(mask):
     groups = flat.reshape(-1, 8)
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     return jnp.sum(groups * weights, axis=1, dtype=jnp.uint8)
+
+
+def unpackbits_u8_dev(packed, shape):
+    """Device inverse of np.packbits (MSB-first): packed (n_bytes,) uint8
+    -> boolean array of `shape`. Lets 1-bit masks ride the host->device
+    wire at 8x compression and decode on device."""
+    shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bits = (packed[:, None] >> shifts) & jnp.uint8(1)
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return (bits.reshape(-1)[:n] > 0).reshape(shape)
 
 
 def unpackbits_np(packed, shape):

@@ -27,9 +27,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.ops import binary_cam_threshold, packbits_u8, unpackbits_np, windowing
+from ..core.ops import (binary_cam_threshold, otsu_threshold_u8_np,
+                        packbits_u8, unpackbits_np, unpackbits_u8_dev,
+                        windowing)
 from ..core.resample import itk_resample3d
 from ..losses.interval_reg import CTSS_RATIO_UB
+
+
+def plan_bucket(lows, sizes, iso_shape):
+    """Shared chunk bucket: max lobe extent rounded up to a multiple of 16
+    (bounds compile variants), clamped to the grid; per-lobe start/offset."""
+    bucket = tuple(int(min(-(-int(sizes[:, ax].max()) // 16) * 16,
+                           iso_shape[ax])) for ax in range(3))
+    starts = np.minimum(lows, np.asarray(iso_shape) - np.asarray(bucket))
+    starts = np.maximum(starts, 0).astype(np.int32)
+    offsets = lows - starts
+    return bucket, starts, offsets
 
 
 def _src_to_gather(src, src_len, offset, total_axis):
@@ -377,13 +390,7 @@ class FastScanPipeline:
     def _run_stage2(self, iso_scan, iso_lobe, lows, sizes, present,
                     iso_shape):
         """Bucket planning + the batched lobe-chunk program -> (htp, ratio)."""
-        # shared bucket: max lobe extent rounded up to a multiple of 16
-        bucket = tuple(int(min(-(-int(sizes[:, ax].max()) // 16) * 16,
-                               iso_shape[ax])) for ax in range(3))
-        starts = np.minimum(lows,
-                            np.asarray(iso_shape) - np.asarray(bucket))
-        starts = np.maximum(starts, 0).astype(np.int32)
-        offsets = lows - starts
+        bucket, starts, offsets = plan_bucket(lows, sizes, iso_shape)
 
         fw = forward_resize_weights(sizes, offsets, self.chunk_size, bucket)
         bw = backward_resize_weights(sizes, offsets, self.chunk_size, bucket)
@@ -484,3 +491,323 @@ class FastScanPipeline:
                 full[sl] = unpackbits_np(np.asarray(packed), o_shape)
                 out[name] = full
         return out
+
+    # -- chunk wire ("wc"): host-extracted chunks, minimal H2D ----------
+    def _get_stage2c(self, iso_shape, bucket, o_shape, want_heatmap):
+        key = ("wc", iso_shape, bucket, o_shape, want_heatmap)
+        if key in self._stage2:
+            return self._stage2[key]
+        model_eval = self.model_eval
+        chunk = self.chunk_size
+        n_lobes = self.n_lobes
+
+        @jax.jit
+        def stage2c(params, batch_stats, x80_u8, lobe_bits, cand_bits,
+                    starts, fw_los, fw_his, fw_fracs, bw_los, bw_his,
+                    bw_fracs, lobe_present, gz, gy, gx):
+            lmask = unpackbits_u8_dev(lobe_bits, (n_lobes, *bucket))
+            x80 = x80_u8.astype(jnp.float32) / 255.0
+            fw = ([fw_los[i] for i in range(3)], [fw_his[i] for i in range(3)],
+                  [fw_fracs[i] for i in range(3)])
+            l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
+
+            dense, refined = model_eval.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x80[..., None], l80[..., None].astype(jnp.float32))
+            out = refined[..., 0].astype(jnp.float32)
+
+            probs = jax.nn.sigmoid(out)
+            lm = l80.astype(jnp.float32)
+            ratio = jnp.sum(probs * lm, (1, 2, 3)) / \
+                jnp.maximum(jnp.sum(lm, (1, 2, 3)), 1.0)
+            nonzero_cls = (ratio >= CTSS_RATIO_UB[0]).astype(jnp.float32)
+
+            cam = jnp.maximum(out, 0.0)
+            cam_max = jnp.max(cam, (1, 2, 3), keepdims=True)
+            cam = cam / jnp.maximum(cam_max, 1e-12)
+            cam = cam * nonzero_cls[:, None, None, None]
+            cam = cam * (lobe_present[:, None, None, None])
+
+            bw = ([bw_los[i] for i in range(3)], [bw_his[i] for i in range(3)],
+                  [bw_fracs[i] for i in range(3)])
+            cam_b = gather_resize(cam, bw)
+
+            htp = jnp.zeros(iso_shape, jnp.float32)
+            lung = jnp.zeros(iso_shape, bool)
+            for li in range(n_lobes):
+                region = jax.lax.dynamic_slice(htp, tuple(starts[li]), bucket)
+                upd = jnp.where(lmask[li], cam_b[li], region)
+                htp = jax.lax.dynamic_update_slice(htp, upd,
+                                                   tuple(starts[li]))
+                lregion = jax.lax.dynamic_slice(lung, tuple(starts[li]),
+                                                bucket)
+                lung = jax.lax.dynamic_update_slice(
+                    lung, lregion | lmask[li], tuple(starts[li]))
+
+            th = binary_cam_threshold(htp, mask=lung)
+            pred = (htp > th)
+            # intensity + vessel post rule precomputed on host (exact: the
+            # w8 wire already quantizes the windowed scan to the u8 levels
+            # the Otsu bins over; vessel is folded in)
+            cand = unpackbits_u8_dev(cand_bits, iso_shape)
+            post = pred & cand
+
+            def back(x):
+                x = jnp.take(x, gz, axis=0)
+                x = jnp.take(x, gy, axis=1)
+                return jnp.take(x, gx, axis=2)
+
+            outs = (packbits_u8(back(pred)), packbits_u8(back(post)),
+                    th, ratio)
+            if want_heatmap:
+                heat_u8 = jnp.clip(back(htp) * 255.0, 0, 255).astype(jnp.uint8)
+                outs = outs + (heat_u8,)
+            return outs
+
+        self._stage2[key] = stage2c
+        return stage2c
+
+    def process_chunks(self, prepc, unpack=True, want_heatmap=False):
+        """Device path for the chunk wire (prep_scan_chunks): H2D moves
+        only the 5 windowed-u8 model chunks, 1-bit lobe bucket masks and
+        the 1-bit post-rule candidate — ~4x less than the w8 scan wire.
+        All stitching/Otsu/thresholding stays on device."""
+        iso_shape = prepc["iso_shape"]
+        bucket = prepc["bucket"]
+        o_lo, o_shape, tables = self._back_gather_tables(
+            tuple(prepc["out_shape"]),
+            np.asarray(prepc["spacing"]) / prepc["iso_spacing"],
+            np.asarray(prepc["crop_lo"]), iso_shape)
+        stage2c = self._get_stage2c(iso_shape, bucket, o_shape, want_heatmap)
+        res = stage2c(
+            self.params, self.batch_stats,
+            jnp.asarray(prepc["x80_u8"]), jnp.asarray(prepc["lobe_bits"]),
+            jnp.asarray(prepc["cand_bits"]), jnp.asarray(prepc["starts"]),
+            [jnp.asarray(a) for a in prepc["fw"][0]],
+            [jnp.asarray(a) for a in prepc["fw"][1]],
+            [jnp.asarray(a) for a in prepc["fw"][2]],
+            [jnp.asarray(a) for a in prepc["bw"][0]],
+            [jnp.asarray(a) for a in prepc["bw"][1]],
+            [jnp.asarray(a) for a in prepc["bw"][2]],
+            jnp.asarray(prepc["present"]),
+            *[jnp.asarray(t) for t in tables])
+        pred_p, post_p, th, ratio = res[:4]
+        out = {"pred_packed": pred_p, "post_packed": post_p,
+               "threshold": float(th) if unpack else th,
+               "ratios": np.asarray(ratio) if unpack else ratio,
+               "present": prepc["present"],
+               "out_shape": tuple(prepc["out_shape"]),
+               "out_window": (tuple(o_lo), o_shape)}
+        sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
+        if want_heatmap:
+            heat = np.zeros(out["out_shape"], np.uint8)
+            heat[sl] = np.asarray(res[4])
+            out["heatmap_u8"] = heat
+        if unpack:
+            for name, packed in (("pred", pred_p), ("post", post_p)):
+                full = np.zeros(out["out_shape"], np.uint8)
+                full[sl] = unpackbits_np(np.asarray(packed), o_shape)
+                out[name] = full
+        return out
+
+
+def _host_gather_resize(x, los, his, fracs):
+    """Host twin of gather_resize for one volume (same axis order and
+    f32 lerp as the device): x (D,H,W) float32 -> (out_z, out_y, out_x)."""
+    for ax in range(3):
+        a = np.take(x, los[ax], axis=ax)
+        b = np.take(x, his[ax], axis=ax)
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        f = fracs[ax].astype(np.float32).reshape(shape)
+        x = a * (1.0 - f) + b * f
+    return x
+
+
+def prep_scan_chunks(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
+                     pad_value=-2048, vessel_u8=None,
+                     windowing_span=(-1000, -700),
+                     chunk_size=(80, 80, 80), n_lobes=5,
+                     crop_border_mm=5.0):
+    """Host prep for the chunk wire: iso resample + lung crop, then
+    per-lobe chunk extraction and the intensity post-rule candidate, so
+    the device sees only:
+
+      x80_u8     (n_lobes, *chunk) windowed model inputs, u8
+      lobe_bits  packbits(n_lobes, *bucket) lobe masks
+      cand_bits  packbits(iso crop grid) intensity-Otsu & ~vessel
+
+    Chunk math mirrors stage2 exactly (mask -> window -> fw gather
+    resize); the intensity threshold mirrors stage3's
+    binary_cam_threshold on the w8-decoded scan, which quantizes to the
+    same u8 levels this prep Otsu's over (reference job_runner.py:966-982
+    crop/mask/window and :1008-1014 post rules).
+
+    The hot path is C++/GIL-free (native.hostprep_native chunk kernels) —
+    on single-core deploy hosts the NumPy version starves the dispatch
+    loop; the NumPy twin below is the portable fallback and parity
+    oracle."""
+    try:
+        return _prep_scan_chunks_native(
+            scan_int16, lobe_u8, spacing, iso_spacing, pad_value,
+            vessel_u8, windowing_span, chunk_size, n_lobes, crop_border_mm)
+    except Exception:
+        return _prep_scan_chunks_np(
+            scan_int16, lobe_u8, spacing, iso_spacing, pad_value,
+            vessel_u8, windowing_span, chunk_size, n_lobes, crop_border_mm)
+
+
+def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
+                             pad_value, vessel_u8, windowing_span,
+                             chunk_size, n_lobes, crop_border_mm):
+    from ..core.ops import otsu_threshold_from_hist
+    from ..native import hostprep_native as hp
+
+    spacing = np.asarray(spacing, np.float64)
+    iso_scan, full_iso_shape = hp.resample_iso_int16(
+        scan_int16, spacing, iso_spacing, fill=pad_value)
+    iso_lobe = hp.resample_iso_labels(lobe_u8, spacing, iso_spacing)
+
+    # lung crop from one C++ bbox pass (union of per-lobe boxes), with
+    # data.hostprep.lung_crop's border/rounding semantics
+    mins, maxs = hp.lobe_bboxes(iso_lobe, n_lobes)
+    have = maxs[:, 0] >= mins[:, 0]
+    shape_arr = np.asarray(full_iso_shape, np.int64)
+    if have.any():
+        lo = np.maximum(mins[have].min(axis=0).astype(np.int64) - 8, 0)
+        hi = np.minimum(maxs[have].max(axis=0).astype(np.int64) + 1 + 8,
+                        shape_arr)
+    else:
+        lo, hi = np.zeros(3, np.int64), shape_arr.copy()
+    size = np.minimum(-(-(hi - lo) // 32) * 32, shape_arr)
+    crop_lo = np.maximum(np.minimum(lo, shape_arr - size), 0)
+    iso_shape = tuple(int(s) for s in size)
+    sl = tuple(slice(int(l), int(l) + s)
+               for l, s in zip(crop_lo, iso_shape))
+    scan_c = np.ascontiguousarray(iso_scan[sl])
+    lobe_c = np.ascontiguousarray(iso_lobe[sl])
+
+    # per-lobe bboxes inside the crop (+border), python _bboxes semantics
+    border_vox = int(np.ceil(crop_border_mm / iso_spacing))
+    lows = np.zeros((n_lobes, 3), np.int32)
+    sizes = np.ones((n_lobes, 3), np.int32)
+    present = np.zeros((n_lobes,), np.float32)
+    for li in range(n_lobes):
+        if not have[li]:
+            continue
+        present[li] = 1.0
+        for ax in range(3):
+            l = max(0, int(mins[li, ax] - crop_lo[ax]) - border_vox)
+            h = min(iso_shape[ax],
+                    int(maxs[li, ax] - crop_lo[ax]) + 1 + border_vox)
+            lows[li, ax] = l
+            sizes[li, ax] = h - l
+    bucket, starts, offsets = plan_bucket(lows, sizes, iso_shape)
+    fw = forward_resize_weights(sizes, offsets, chunk_size, bucket)
+    bw = backward_resize_weights(sizes, offsets, chunk_size, bucket)
+
+    x80 = np.zeros((n_lobes, *chunk_size), np.uint8)
+    for li in range(n_lobes):
+        if present[li]:
+            x80[li] = hp.extract_chunk_w8(scan_c, lobe_c, li + 1,
+                                          lows[li], sizes[li],
+                                          windowing_span, chunk_size)
+
+    u8, hist = hp.window8_hist(scan_c, lobe_c, windowing_span)
+    th = otsu_threshold_from_hist(hist)
+    nz = np.nonzero(hist)[0]
+    if th is None:
+        # empty lung: nothing passes (device otsu degrades to 255)
+        th_u8 = 256.0
+    elif len(nz) == 1:
+        th_u8 = th  # single-colour: threshold is that colour, unscaled
+    else:
+        th_u8 = min(th * 0.75, 255.0)
+    vessel_c = None
+    if vessel_u8 is not None and np.any(vessel_u8):
+        iso_vessel = hp.resample_iso_labels(vessel_u8, spacing, iso_spacing)
+        vessel_c = np.ascontiguousarray(iso_vessel[sl])
+    cand_bits = hp.cand_bits(u8, vessel_c, th_u8)
+    lobe_bits = hp.lobe_bucket_bits(lobe_c, starts, bucket, n_lobes)
+
+    return {"wire": "wc",
+            "x80_u8": x80,
+            "lobe_bits": lobe_bits,
+            "cand_bits": cand_bits,
+            "starts": starts, "bucket": bucket,
+            "fw": fw, "bw": bw, "present": present,
+            "intensity_threshold": min(th_u8, 255.0) / 255.0,
+            "iso_shape": iso_shape,
+            "crop_lo": crop_lo.astype(np.int64),
+            "spacing": tuple(spacing.tolist()),
+            "iso_spacing": float(iso_spacing),
+            "out_shape": tuple(scan_int16.shape)}
+
+
+def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
+                         pad_value, vessel_u8, windowing_span,
+                         chunk_size, n_lobes, crop_border_mm):
+    from ..data.hostprep import prep_scan
+
+    prep = prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=iso_spacing,
+                     pad_value=pad_value, vessel_u8=vessel_u8,
+                     windowing_span=windowing_span)
+    iso_shape = prep["iso_shape"]
+    u = prep["packed_scan"].reshape(iso_shape)          # windowed u8
+    iso_lobe = prep["iso_lobe_host"]
+
+    border_vox = int(np.ceil(crop_border_mm / prep["iso_spacing"]))
+    lows, sizes, present = FastScanPipeline._bboxes_from_labels(
+        iso_lobe, n_lobes, border_vox, iso_shape)
+    bucket, starts, offsets = plan_bucket(lows, sizes, iso_shape)
+    fw = forward_resize_weights(sizes, offsets, chunk_size, bucket)
+    bw = backward_resize_weights(sizes, offsets, chunk_size, bucket)
+
+    x80 = np.zeros((n_lobes, *chunk_size), np.uint8)
+    lmask = np.zeros((n_lobes, *bucket), bool)
+    for li in range(n_lobes):
+        if not present[li]:
+            continue
+        sl = tuple(slice(int(s), int(s) + b)
+                   for s, b in zip(starts[li], bucket))
+        crop_l = iso_lobe[sl] == (li + 1)
+        lmask[li] = crop_l
+        xw = np.where(crop_l, u[sl].astype(np.float32) / 255.0, 0.0)
+        r = _host_gather_resize(
+            xw, [fw[0][ax][li] for ax in range(3)],
+            [fw[1][ax][li] for ax in range(3)],
+            [fw[2][ax][li] for ax in range(3)])
+        x80[li] = np.clip(np.round(r * 255.0), 0, 255).astype(np.uint8)
+
+    # intensity post-rule candidate (stage3 semantics on the w8 wire):
+    # Otsu over the windowed-u8 scan within lung, scaled 0.75, compared
+    # strictly; all-outside-lung -> nothing passes; vessel excluded here
+    lung = iso_lobe > 0
+    vals = u[lung]
+    if vals.size == 0:
+        cand = np.zeros(iso_shape, bool)
+        th_i = 1.0
+    else:
+        vmin, vmax = int(vals.min()), int(vals.max())
+        if vmin >= vmax:
+            th_u8 = float(vmin)
+        else:
+            th_u8 = min(otsu_threshold_u8_np(vals) * 0.75, 255.0)
+        cand = u.astype(np.float32) > th_u8
+        th_i = th_u8 / 255.0
+    vessel = prep.get("iso_vessel_host")
+    if vessel is not None:
+        cand &= ~(vessel > 0)
+
+    return {"wire": "wc",
+            "x80_u8": x80,
+            "lobe_bits": np.packbits(lmask.reshape(-1)),
+            "cand_bits": np.packbits(cand.reshape(-1)),
+            "starts": starts, "bucket": bucket,
+            "fw": fw, "bw": bw, "present": present,
+            "intensity_threshold": th_i,
+            "iso_shape": iso_shape,
+            "crop_lo": prep["crop_lo"],
+            "spacing": prep["spacing"],
+            "iso_spacing": prep["iso_spacing"],
+            "out_shape": prep["out_shape"]}

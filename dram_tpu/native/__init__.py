@@ -57,6 +57,26 @@ def _lib():
                                  ctypes.c_void_p]
         lib.unpackbits_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                       ctypes.c_void_p]
+        lib.lobe_bboxes_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        lib.extract_chunk_w8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.window8_hist_i16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.cand_bits_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_void_p]
+        lib.lobe_bucket_bits_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -128,6 +148,68 @@ class hostprep_native:
         out = np.empty((n + 1) // 2, np.uint8)
         _lib().pack4_u8(l.ctypes.data, n, out.ctypes.data)
         return out, n
+
+    @staticmethod
+    def lobe_bboxes(lobe_u8, n_labels):
+        """Per-label inclusive (mins, maxs) over a label volume; a label
+        with no voxels has min > max."""
+        l = np.ascontiguousarray(lobe_u8, np.uint8)
+        mins = np.empty((n_labels, 3), np.int32)
+        maxs = np.empty((n_labels, 3), np.int32)
+        _lib().lobe_bboxes_u8(l.ctypes.data, *[int(s) for s in l.shape],
+                              int(n_labels), mins.ctypes.data,
+                              maxs.ctypes.data)
+        return mins, maxs
+
+    @staticmethod
+    def extract_chunk_w8(scan_i16, lobe_u8, label, lo3, size3, span,
+                         chunk_size):
+        scan = np.ascontiguousarray(scan_i16, np.int16)
+        lobe = np.ascontiguousarray(lobe_u8, np.uint8)
+        lo3 = np.ascontiguousarray(lo3, np.int32)
+        size3 = np.ascontiguousarray(size3, np.int32)
+        out = np.empty(tuple(chunk_size), np.uint8)
+        _lib().extract_chunk_w8(
+            scan.ctypes.data, lobe.ctypes.data,
+            *[int(s) for s in scan.shape], int(label),
+            lo3.ctypes.data, size3.ctypes.data,
+            float(span[0]), float(span[1]),
+            *[int(c) for c in chunk_size], out.ctypes.data)
+        return out
+
+    @staticmethod
+    def window8_hist(scan_i16, lobe_u8, span):
+        scan = np.ascontiguousarray(scan_i16, np.int16)
+        lobe = np.ascontiguousarray(lobe_u8, np.uint8)
+        u8 = np.empty(scan.size, np.uint8)
+        hist = np.empty(256, np.int64)
+        _lib().window8_hist_i16(scan.ctypes.data, lobe.ctypes.data,
+                                scan.size, float(span[0]), float(span[1]),
+                                u8.ctypes.data, hist.ctypes.data)
+        return u8, hist
+
+    @staticmethod
+    def cand_bits(u8, vessel_u8, threshold):
+        u = np.ascontiguousarray(u8, np.uint8).reshape(-1)
+        v = None if vessel_u8 is None else \
+            np.ascontiguousarray(vessel_u8, np.uint8).reshape(-1)
+        bits = np.empty((u.size + 7) // 8, np.uint8)
+        _lib().cand_bits_u8(u.ctypes.data,
+                            None if v is None else v.ctypes.data,
+                            u.size, float(threshold), bits.ctypes.data)
+        return bits
+
+    @staticmethod
+    def lobe_bucket_bits(lobe_u8, starts, bucket, n_labels):
+        lobe = np.ascontiguousarray(lobe_u8, np.uint8)
+        starts = np.ascontiguousarray(starts, np.int32)
+        total = int(n_labels) * int(np.prod(bucket))
+        bits = np.empty((total + 7) // 8, np.uint8)
+        _lib().lobe_bucket_bits_u8(
+            lobe.ctypes.data, *[int(s) for s in lobe.shape],
+            starts.ctypes.data, *[int(b) for b in bucket],
+            int(n_labels), bits.ctypes.data)
+        return bits
 
     @staticmethod
     def unpackbits(packed, shape):

@@ -194,3 +194,54 @@ class TestW8Wire:
         denom = (a["pred"] > 0).sum() + (b["pred"] > 0).sum()
         assert denom == 0 or 2 * inter / denom > 0.98
         np.testing.assert_allclose(a["ratios"], b["ratios"], atol=5e-3)
+
+
+class TestChunkWire:
+    def test_chunk_wire_matches_w8_path(self, model_and_params):
+        """Chunk wire (host-extracted 80^3 chunks + 1-bit masks) vs the w8
+        scan wire: same masks up to wire quantization, same ratios."""
+        from dram_tpu.data.hostprep import prep_scan
+        from dram_tpu.infer.fast import prep_scan_chunks
+        rng = np.random.default_rng(7)
+        scan, lobe, *_ = _synth_scan(rng, (36, 44, 44),
+                                     lesion_severity=[3, 4, 2, 5, 3])
+        model, params, batch_stats = model_and_params
+        span = (-1000, -300)
+        spacing = (1.5, 0.9, 0.9)
+        fast = FastScanPipeline(model, params, batch_stats, chunk_size=CHUNK,
+                                windowing_span=span)
+        a = fast.process_prepped(prep_scan(scan, lobe, spacing,
+                                           windowing_span=span))
+        prepc = prep_scan_chunks(scan, lobe, spacing, windowing_span=span,
+                                 chunk_size=CHUNK)
+        b = fast.process_chunks(prepc)
+        assert b["pred"].shape == scan.shape
+        for k in ("pred", "post"):
+            inter = np.logical_and(a[k] > 0, b[k] > 0).sum()
+            denom = (a[k] > 0).sum() + (b[k] > 0).sum()
+            assert denom == 0 or 2 * inter / denom > 0.98, \
+                f"{k} dice {2 * inter / max(denom, 1)}"
+        np.testing.assert_allclose(a["ratios"], b["ratios"], atol=5e-3)
+        assert b["threshold"] == pytest.approx(a["threshold"], abs=5 / 255)
+
+    def test_chunk_wire_empty_lobe(self, model_and_params):
+        from dram_tpu.infer.fast import prep_scan_chunks
+        model, params, batch_stats = model_and_params
+        rng = np.random.default_rng(8)
+        scan, lobe, *_ = _synth_scan(rng, (32, 40, 40))
+        lobe[lobe == 5] = 0
+        fast = FastScanPipeline(model, params, batch_stats, chunk_size=CHUNK,
+                                windowing_span=(-1000, -300))
+        prepc = prep_scan_chunks(scan, lobe, (1.0, 1.0, 1.0),
+                                 windowing_span=(-1000, -300),
+                                 chunk_size=CHUNK)
+        out = fast.process_chunks(prepc)
+        assert out["pred"].shape == scan.shape
+        assert np.isfinite(np.asarray(out["ratios"])).all()
+
+    def test_unpackbits_dev_roundtrip(self, rng):
+        from dram_tpu.core.ops import unpackbits_u8_dev
+        m = rng.uniform(size=(3, 7, 9)) > 0.4
+        packed = np.packbits(m.reshape(-1))
+        got = np.asarray(unpackbits_u8_dev(jnp.asarray(packed), m.shape))
+        np.testing.assert_array_equal(got, m)

@@ -68,3 +68,47 @@ class TestNativeHostprep:
         assert prep["packed_scan"].dtype == np.uint8
         got = hp_np.unpack12_np(prep["packed_scan"], prep["n_voxels"])
         assert got.shape[0] == int(np.prod(prep["iso_shape"]))
+
+    def test_chunk_prep_native_matches_numpy(self):
+        """The C++ chunk-wire prep (bboxes, chunk extraction, windowed
+        histogram, candidate/mask bit-packing) matches the NumPy twin:
+        exact on everything except the trilinear chunk values (<= 1 u8
+        level, fp association order)."""
+        from dram_tpu.data.prepare_data import _synth_scan
+        from dram_tpu.infer.fast import (_prep_scan_chunks_native,
+                                         _prep_scan_chunks_np)
+        rng = np.random.default_rng(11)
+        scan, lobe, *_ = _synth_scan(rng, (48, 64, 64),
+                                     lesion_severity=[3, 4, 2, 5, 3])
+        vessel = (rng.uniform(size=scan.shape) > 0.97).astype(np.uint8)
+        args = (scan, lobe, (1.2, 0.9, 0.9), 1.0, -2048, vessel,
+                (-1000, -700), (16, 16, 16), 5, 5.0)
+        a = _prep_scan_chunks_np(*args)
+        b = _prep_scan_chunks_native(*args)
+        for k in ("iso_shape", "bucket", "starts", "present", "crop_lo",
+                  "out_shape"):
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+        for i in range(3):
+            for ax in range(3):
+                np.testing.assert_array_equal(a["fw"][i][ax],
+                                              b["fw"][i][ax])
+                np.testing.assert_array_equal(a["bw"][i][ax],
+                                              b["bw"][i][ax])
+        d = np.abs(a["x80_u8"].astype(int) - b["x80_u8"].astype(int))
+        assert d.max() <= 1 and d.mean() < 0.01
+        np.testing.assert_array_equal(a["lobe_bits"], b["lobe_bits"])
+        np.testing.assert_array_equal(a["cand_bits"], b["cand_bits"])
+        assert a["intensity_threshold"] == pytest.approx(
+            b["intensity_threshold"])
+
+    def test_chunk_prep_native_empty_lung(self):
+        from dram_tpu.infer.fast import _prep_scan_chunks_native
+        rng = np.random.default_rng(12)
+        scan = rng.integers(-1000, 400, (24, 32, 32)).astype(np.int16)
+        lobe = np.zeros((24, 32, 32), np.uint8)
+        p = _prep_scan_chunks_native(scan, lobe, (1.0, 1.0, 1.0), 1.0,
+                                     -2048, None, (-1000, -700),
+                                     (16, 16, 16), 5, 5.0)
+        assert p["present"].sum() == 0
+        assert np.unpackbits(p["cand_bits"]).sum() == 0
