@@ -93,8 +93,7 @@ def main():
         if wire == "wc":
             prep = prep_scan_chunks(scan, lobe, spacing,
                                     windowing_span=span)
-            for k in ("x80_u8", "lobe_bits", "cand_bits"):
-                prep[k] = jax.device_put(prep[k])
+            pipe.upload_chunks_prep(prep)
         else:
             prep = prep_scan(scan, lobe, spacing, windowing_span=span)
             prep["packed_scan"] = jax.device_put(prep["packed_scan"])

@@ -567,20 +567,16 @@ class FastScanPipeline:
         self._stage2[key] = stage2c
         return stage2c
 
-    def process_chunks(self, prepc, unpack=True, want_heatmap=False):
-        """Device path for the chunk wire (prep_scan_chunks): H2D moves
-        only the 5 windowed-u8 model chunks, 1-bit lobe bucket masks and
-        the 1-bit post-rule candidate — ~4x less than the w8 scan wire.
-        All stitching/Otsu/thresholding stays on device."""
-        iso_shape = prepc["iso_shape"]
-        bucket = prepc["bucket"]
+    def upload_chunks_prep(self, prepc):
+        """Device-put every wire and table of a chunk prep. Call from a
+        prep thread so the dispatch loop does no H2D or table work (the
+        deploy host is single-core; main-thread GIL time is throughput)."""
         o_lo, o_shape, tables = self._back_gather_tables(
             tuple(prepc["out_shape"]),
             np.asarray(prepc["spacing"]) / prepc["iso_spacing"],
-            np.asarray(prepc["crop_lo"]), iso_shape)
-        stage2c = self._get_stage2c(iso_shape, bucket, o_shape, want_heatmap)
-        res = stage2c(
-            self.params, self.batch_stats,
+            np.asarray(prepc["crop_lo"]), prepc["iso_shape"])
+        prepc["_back"] = (o_lo, o_shape)
+        prepc["_dev"] = [
             jnp.asarray(prepc["x80_u8"]), jnp.asarray(prepc["lobe_bits"]),
             jnp.asarray(prepc["cand_bits"]), jnp.asarray(prepc["starts"]),
             [jnp.asarray(a) for a in prepc["fw"][0]],
@@ -590,7 +586,21 @@ class FastScanPipeline:
             [jnp.asarray(a) for a in prepc["bw"][1]],
             [jnp.asarray(a) for a in prepc["bw"][2]],
             jnp.asarray(prepc["present"]),
-            *[jnp.asarray(t) for t in tables])
+            *[jnp.asarray(t) for t in tables]]
+        return prepc
+
+    def process_chunks(self, prepc, unpack=True, want_heatmap=False):
+        """Device path for the chunk wire (prep_scan_chunks): H2D moves
+        only the 5 windowed-u8 model chunks, 1-bit lobe bucket masks and
+        the 1-bit post-rule candidate — ~4x less than the w8 scan wire.
+        All stitching/Otsu/thresholding stays on device."""
+        iso_shape = prepc["iso_shape"]
+        bucket = prepc["bucket"]
+        if "_dev" not in prepc:
+            self.upload_chunks_prep(prepc)
+        o_lo, o_shape = prepc["_back"]
+        stage2c = self._get_stage2c(iso_shape, bucket, o_shape, want_heatmap)
+        res = stage2c(self.params, self.batch_stats, *prepc["_dev"])
         pred_p, post_p, th, ratio = res[:4]
         out = {"pred_packed": pred_p, "post_packed": post_p,
                "threshold": float(th) if unpack else th,
@@ -664,15 +674,13 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     from ..native import hostprep_native as hp
 
     spacing = np.asarray(spacing, np.float64)
-    iso_scan, full_iso_shape = hp.resample_iso_int16(
-        scan_int16, spacing, iso_spacing, fill=pad_value)
     iso_lobe = hp.resample_iso_labels(lobe_u8, spacing, iso_spacing)
 
     # lung crop from one C++ bbox pass (union of per-lobe boxes), with
     # data.hostprep.lung_crop's border/rounding semantics
     mins, maxs = hp.lobe_bboxes(iso_lobe, n_lobes)
     have = maxs[:, 0] >= mins[:, 0]
-    shape_arr = np.asarray(full_iso_shape, np.int64)
+    shape_arr = np.asarray(iso_lobe.shape, np.int64)
     if have.any():
         lo = np.maximum(mins[have].min(axis=0).astype(np.int64) - 8, 0)
         hi = np.minimum(maxs[have].max(axis=0).astype(np.int64) + 1 + 8,
@@ -684,7 +692,10 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     iso_shape = tuple(int(s) for s in size)
     sl = tuple(slice(int(l), int(l) + s)
                for l, s in zip(crop_lo, iso_shape))
-    scan_c = np.ascontiguousarray(iso_scan[sl])
+    # the scan is resampled only inside the crop window (the rest of the
+    # iso grid is never consumed by the chunk wire)
+    scan_c = hp.resample_window_int16(scan_int16, spacing, iso_spacing,
+                                      crop_lo, iso_shape, fill=pad_value)
     lobe_c = np.ascontiguousarray(iso_lobe[sl])
 
     # per-lobe bboxes inside the crop (+border), python _bboxes semantics

@@ -42,6 +42,12 @@ def _lib():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_void_p]
+        lib.resample_window_linear_i16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_void_p]
         lib.resample_iso_linear_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -97,6 +103,22 @@ class hostprep_native:
             float(scales[0]), float(scales[1]), float(scales[2]),
             *[int(s) for s in out_shape], float(fill), out.ctypes.data)
         return out, out_shape
+
+    @staticmethod
+    def resample_window_int16(scan, spacing, iso_spacing, crop_lo,
+                              crop_shape, fill=-2048):
+        """Iso resample emitted only inside the output window starting at
+        crop_lo with crop_shape (the lung crop)."""
+        scan = np.ascontiguousarray(scan, np.int16)
+        spacing = np.asarray(spacing, np.float64)
+        scales = iso_spacing / spacing
+        out = np.empty(tuple(int(s) for s in crop_shape), np.int16)
+        _lib().resample_window_linear_i16(
+            scan.ctypes.data, *[int(s) for s in scan.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(v) for v in crop_lo],
+            *[int(s) for s in crop_shape], float(fill), out.ctypes.data)
+        return out
 
     @staticmethod
     def resample_iso_labels(lobe, spacing, iso_spacing=1.0):

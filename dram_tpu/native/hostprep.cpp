@@ -26,14 +26,15 @@ struct AxisTable {
     std::vector<uint8_t> valid;
 };
 
-AxisTable make_axis(int in_size, int out_size, double scale, bool nearest) {
+AxisTable make_axis(int in_size, int out_size, double scale, bool nearest,
+                    int out_off = 0) {
     AxisTable t;
     t.lo.resize(out_size);
     t.hi.resize(out_size);
     t.frac.resize(out_size);
     t.valid.resize(out_size);
     for (int i = 0; i < out_size; ++i) {
-        double src = i * scale;
+        double src = (double)(i + out_off) * scale;
         // ITK IsInsideBuffer: [-0.5, size-0.5), end exclusive
         bool valid = (src >= -0.5) && (src < in_size - 0.5);
         t.valid[i] = valid ? 1 : 0;
@@ -68,6 +69,56 @@ void resample_iso_linear_i16(const int16_t* in, int D, int H, int W,
     AxisTable tz = make_axis(D, oD, sz, false);
     AxisTable ty = make_axis(H, oH, sy, false);
     AxisTable tx = make_axis(W, oW, sx, false);
+    const int64_t HW = (int64_t)H * W;
+    const int64_t oHW = (int64_t)oH * oW;
+#pragma omp parallel for schedule(static)
+    for (int z = 0; z < oD; ++z) {
+        const int z0 = tz.lo[z], z1 = tz.hi[z];
+        const float fz = tz.frac[z];
+        int16_t* orow = out + (int64_t)z * oHW;
+        if (!tz.valid[z]) {
+            for (int64_t i = 0; i < oHW; ++i) orow[i] = (int16_t)fill;
+            continue;
+        }
+        for (int y = 0; y < oH; ++y) {
+            const int y0 = ty.lo[y], y1 = ty.hi[y];
+            const float fy = ty.frac[y];
+            const bool vy = ty.valid[y];
+            const int16_t* p00 = in + (int64_t)z0 * HW + (int64_t)y0 * W;
+            const int16_t* p01 = in + (int64_t)z0 * HW + (int64_t)y1 * W;
+            const int16_t* p10 = in + (int64_t)z1 * HW + (int64_t)y0 * W;
+            const int16_t* p11 = in + (int64_t)z1 * HW + (int64_t)y1 * W;
+            int16_t* op = orow + (int64_t)y * oW;
+            for (int x = 0; x < oW; ++x) {
+                if (!vy || !tx.valid[x]) {
+                    op[x] = (int16_t)fill;
+                    continue;
+                }
+                const int x0 = tx.lo[x], x1 = tx.hi[x];
+                const float fx = tx.frac[x];
+                const float v00 = p00[x0] + fx * (p00[x1] - p00[x0]);
+                const float v01 = p01[x0] + fx * (p01[x1] - p01[x0]);
+                const float v10 = p10[x0] + fx * (p10[x1] - p10[x0]);
+                const float v11 = p11[x0] + fx * (p11[x1] - p11[x0]);
+                const float v0 = v00 + fy * (v01 - v00);
+                const float v1 = v10 + fy * (v11 - v10);
+                op[x] = (int16_t)std::lrintf(v0 + fz * (v1 - v0));
+            }
+        }
+    }
+}
+
+// Window variant: emits only the output block starting at (offz, offy,
+// offx) of the virtual full output grid — the prep path resamples the
+// scan only inside the lung crop.
+void resample_window_linear_i16(const int16_t* in, int D, int H, int W,
+                                double sz, double sy, double sx,
+                                int offz, int offy, int offx,
+                                int oD, int oH, int oW,
+                                double fill, int16_t* out) {
+    AxisTable tz = make_axis(D, oD, sz, false, offz);
+    AxisTable ty = make_axis(H, oH, sy, false, offy);
+    AxisTable tx = make_axis(W, oW, sx, false, offx);
     const int64_t HW = (int64_t)H * W;
     const int64_t oHW = (int64_t)oH * oW;
 #pragma omp parallel for schedule(static)
