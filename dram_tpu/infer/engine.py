@@ -113,17 +113,34 @@ class LesionSegTest:
 
     def process_scan_fast(self, scan_data):
         """Fast path: host prep (C++ iso resample + wire packing) + the
-        batched all-device pipeline; outputs arrive at the original grid."""
+        batched all-device pipeline; outputs arrive at the original grid.
+
+        FAST_WIRE selects the host->device wire: "wc" (default — per-lobe
+        chunk extraction on host, ~10 MB/scan) or "w8" (whole windowed
+        lung window, ~40 MB/scan; all prep math on device)."""
         from ..data.hostprep import prep_scan
+        from .fast import prep_scan_chunks
         s = self.settings
         meta = scan_data["meta"]
         vessel = scan_data.get("#vessel_reference")
-        prep = prep_scan(scan_data["#image"].astype(np.int16),
-                         scan_data["#lobe_reference"], meta["spacing"],
-                         iso_spacing=float(s.TEST_RESAMPLE_SPACING),
-                         pad_value=float(s.PAD_VALUE), vessel_u8=vessel,
-                         windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX))
-        out = self._fast().process_prepped(prep, want_heatmap=True)
+        wire = str(getattr(s, "FAST_WIRE", "wc"))
+        if wire == "wc":
+            prep = prep_scan_chunks(
+                scan_data["#image"].astype(np.int16),
+                scan_data["#lobe_reference"], meta["spacing"],
+                iso_spacing=float(s.TEST_RESAMPLE_SPACING),
+                pad_value=float(s.PAD_VALUE), vessel_u8=vessel,
+                windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX),
+                chunk_size=tuple(s.RESAMPLE_SIZE))
+            out = self._fast().process_chunks(prep, want_heatmap=True)
+        else:
+            prep = prep_scan(
+                scan_data["#image"].astype(np.int16),
+                scan_data["#lobe_reference"], meta["spacing"],
+                iso_spacing=float(s.TEST_RESAMPLE_SPACING),
+                pad_value=float(s.PAD_VALUE), vessel_u8=vessel,
+                windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX))
+            out = self._fast().process_prepped(prep, want_heatmap=True)
         cls_preds, cls_targets = [], []
         for li in range(1, 6):
             target = None
