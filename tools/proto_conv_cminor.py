@@ -4,10 +4,16 @@ The shipped kernel (core/pallas/conv3d.py) is plane-minor: it transposes
 activations to (B, D, C, H*W), which XLA materializes as large padded
 copies around each call — the HBM cost that blocks default-on training.
 This prototype keeps the native (B, D, H*W, C) layout: rolls ride the
-sublane (H*W) axis and the MXU contracts over C. If it matches the
-plane-minor kernel's speed, the layout copies (and the bs=10 OOM) go away.
+sublane (H*W) axis and the MXU contracts over C.
 
-Usage: python tools/proto_conv_cminor.py [D H W Ci Co B]
+FINDING (v5e, jax 0.8 Mosaic): manual-DMA slices require the memref's
+minor dimension to be a multiple of 128, so this layout only lowers for
+Ci in {128, 256, 384, 512, 768} — the hot 80^3 DC3D layers (Ci=64/192)
+cannot use it (tpu.memref_slice fails on the lane-padded source). The
+shipped plane-minor kernel stays; its layout copies turned out not to
+block bs=10 training (see BASELINE.md), so this remains exploratory.
+
+Usage: python tools/proto_conv_cminor.py [D H W Ci Co B]  (Ci % 128 == 0)
 """
 
 import functools
