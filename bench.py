@@ -158,6 +158,8 @@ def main():
     # (the mean is reported alongside for transparency)
     per_scan = np.diff([t0] + marks)
     sec = float(np.median(per_scan))
+    print(f"# steady-state, prep pipeline pre-filled (depth {depth}); "
+          f"{len(scans)} cached synthetic geometries cycled", file=sys.stderr)
     print(f"# {n_scans} scans in {dt:.2f}s; per-scan "
           f"{[round(float(s), 2) for s in per_scan]} -> median {sec:.3f}"
           f" (mean {dt / n_scans:.3f}) s/scan", file=sys.stderr)

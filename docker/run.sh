@@ -15,6 +15,11 @@ case "${1:-process}" in
     exec python3 train.py "$@"
     ;;
   tests)
+    if ! python3 -c 'import pytest' 2>/dev/null; then
+      echo "tests mode needs the 'test' image stage" \
+           "(docker build . -f docker/Dockerfile — the default target)" >&2
+      exit 2
+    fi
     exec python3 -m pytest tests/ -q
     ;;
   *)

@@ -140,12 +140,6 @@ def _dw_kernel(x_hbm, dy_hbm, dw_ref, patch, dyb, slab, sems, semd, *,
                     preferred_element_type=jnp.float32)   # (3Ci, Co)
 
 
-def _block_d_for(Ci, H, W, budget_bytes=6 * 1024 * 1024):
-    per_row = Ci * H * W * 4  # slab rows held as f32 in VMEM
-    bd = max(1, budget_bytes // per_row - 2)
-    return int(min(bd, 8))
-
-
 def _plane_pad(HW):
     """Lane-padded plane length: the tiled HBM layout pads the minor dim
     to 128 anyway; padding explicitly (with zeros) keeps manual DMAs

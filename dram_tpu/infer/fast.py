@@ -23,6 +23,8 @@ per-lobe scale factors data, not shapes.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,13 @@ from ..core.ops import (binary_cam_threshold, otsu_threshold_u8_np,
                         windowing)
 from ..core.resample import itk_resample3d
 from ..losses.interval_reg import CTSS_RATIO_UB
+
+# One shared default HU window for the fast path (the flagship attention
+# config, reference exp_settings/st_dram_ref_att.py:52-53). Production
+# callers (engine.py, bench.py) always pass the span from settings.
+DEFAULT_WINDOWING_SPAN = (-1000, -700)
+
+_NATIVE_PREP_WARNED = False
 
 
 def plan_bucket(lows, sizes, iso_shape):
@@ -124,7 +133,7 @@ class FastScanPipeline:
     """Single-chip fast path; one instance per (scan-grid, bucket) shapes."""
 
     def __init__(self, model_eval, params, batch_stats, chunk_size=(80, 80, 80),
-                 windowing_span=(-1000, -300), pad_value=-2048.0,
+                 windowing_span=DEFAULT_WINDOWING_SPAN, pad_value=-2048.0,
                  n_lobes=5):
         self.model_eval = model_eval
         self.params = params
@@ -636,7 +645,7 @@ def _host_gather_resize(x, los, his, fracs):
 
 def prep_scan_chunks(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
                      pad_value=-2048, vessel_u8=None,
-                     windowing_span=(-1000, -700),
+                     windowing_span=DEFAULT_WINDOWING_SPAN,
                      chunk_size=(80, 80, 80), n_lobes=5,
                      crop_border_mm=5.0):
     """Host prep for the chunk wire: iso resample + lung crop, then
@@ -647,8 +656,11 @@ def prep_scan_chunks(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
       lobe_bits  packbits(n_lobes, *bucket) lobe masks
       cand_bits  packbits(iso crop grid) intensity-Otsu & ~vessel
 
-    Chunk math mirrors stage2 exactly (mask -> window -> fw gather
-    resize); the intensity threshold mirrors stage3's
+    Chunk math mirrors stage2 up to the u8 wire quantization of the
+    resized chunk (mask -> window -> fw gather resize, then rounded to
+    u8 for the wire) — wc outputs can differ from the w8 path by up to
+    1/255 per input voxel, so masks are close but not bit-identical
+    across FAST_WIRE settings. The intensity threshold mirrors stage3's
     binary_cam_threshold on the w8-decoded scan, which quantizes to the
     same u8 levels this prep Otsu's over (reference job_runner.py:966-982
     crop/mask/window and :1008-1014 post rules).
@@ -662,6 +674,13 @@ def prep_scan_chunks(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
             scan_int16, lobe_u8, spacing, iso_spacing, pad_value,
             vessel_u8, windowing_span, chunk_size, n_lobes, crop_border_mm)
     except Exception:
+        global _NATIVE_PREP_WARNED
+        if not _NATIVE_PREP_WARNED:
+            _NATIVE_PREP_WARNED = True
+            logging.getLogger(__name__).warning(
+                "native chunk prep failed; falling back to the NumPy prep "
+                "(GIL-holding — expect degraded throughput on single-core "
+                "deploy hosts)", exc_info=True)
         return _prep_scan_chunks_np(
             scan_int16, lobe_u8, spacing, iso_spacing, pad_value,
             vessel_u8, windowing_span, chunk_size, n_lobes, crop_border_mm)

@@ -33,12 +33,26 @@ def load_checkpoint(path):
 
 
 def newest_checkpoint(exp_path, pattern="*.ckpt"):
-    """Newest checkpoint file in a directory (reference resume semantics,
-    job_runner.py:433-437); None if there is none."""
+    """Latest checkpoint file in a directory; None if there is none.
+
+    Resumes by the epoch number parsed from the ``{epoch}.ckpt`` stem when
+    available — strictly better than the reference's mtime-newest ``.pth``
+    rule (job_runner.py:433-437), which a restored/copied old checkpoint
+    can hijack. Non-numeric names fall back to ctime ordering and always
+    rank below any epoch-named checkpoint.
+    """
     files = glob.glob(os.path.join(exp_path, pattern))
     if not files:
         return None
-    return max(files, key=os.path.getctime)
+
+    def rank(path):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        try:
+            return (1, int(stem), 0.0)
+        except ValueError:
+            return (0, 0, os.path.getctime(path))
+
+    return max(files, key=rank)
 
 
 def tolerant_merge(current, saved, ignored_keys=(), overwrite=False,

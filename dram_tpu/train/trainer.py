@@ -360,6 +360,15 @@ class JobRunner:
                 losses = loss_func(model_fn, images, lobes, lesions, ctss,
                                    ctss_frequency=freq, rng=rng,
                                    sample_weight=weights)
+                # Extra factors are legal (the reference ships 4 factors for
+                # the 2-term IntRegRefineLoss); fewer factors than losses
+                # would silently drop a loss term from the objective.
+                if len(losses) > len(factors):
+                    raise ValueError(
+                        f"{type(loss_func).__name__} returns {len(losses)} "
+                        f"loss terms but LOSS_FACTORS has only {len(factors)}"
+                        " entries; zip would silently drop a loss from the "
+                        "objective — extend LOSS_FACTORS in the settings")
                 total = sum(l * f for l, f in zip(losses, factors))
                 return total, (jnp.stack(losses), carry["bs"])
 

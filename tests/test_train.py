@@ -181,6 +181,65 @@ class TestTolerantMerge:
         np.testing.assert_array_equal(got["model"]["w"], tree["model"]["w"])
 
 
+class TestNewestCheckpoint:
+    def test_epoch_number_beats_ctime(self, tmp_path):
+        """Resume picks the highest epoch number even if an older-epoch
+        file was written (copied/restored) more recently."""
+        from dram_tpu.train.checkpoint import newest_checkpoint
+        (tmp_path / "10.ckpt").write_bytes(b"x")
+        (tmp_path / "2.ckpt").write_bytes(b"x")  # most recent ctime
+        assert os.path.basename(
+            newest_checkpoint(str(tmp_path))) == "10.ckpt"
+
+    def test_non_numeric_falls_back_to_ctime(self, tmp_path):
+        from dram_tpu.train.checkpoint import newest_checkpoint
+        import time
+        (tmp_path / "best.ckpt").write_bytes(b"x")
+        time.sleep(0.01)
+        (tmp_path / "latest.ckpt").write_bytes(b"x")
+        assert os.path.basename(
+            newest_checkpoint(str(tmp_path))) == "latest.ckpt"
+        # any epoch-named checkpoint outranks non-numeric names
+        (tmp_path / "1.ckpt").write_bytes(b"x")
+        assert os.path.basename(
+            newest_checkpoint(str(tmp_path))) == "1.ckpt"
+
+    def test_empty_dir(self, tmp_path):
+        from dram_tpu.train.checkpoint import newest_checkpoint
+        assert newest_checkpoint(str(tmp_path)) is None
+
+
+class TestLossFactorArity:
+    def test_fewer_factors_than_losses_raises(self, env, tmp_path):
+        """LOSS_FACTORS shorter than the loss tuple would silently drop a
+        loss term via zip — the trainer must refuse loudly."""
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_arity"
+        settings.NUM_EPOCHS = 1
+        settings.LOSS_FACTORS = [2.0]  # IntRegRefineLoss returns 2 terms
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        with pytest.raises(ValueError, match="LOSS_FACTORS"):
+            runner.run()
+
+    def test_extra_factors_allowed(self, env, tmp_path):
+        """The reference ships 4 factors for the 2-term IntRegRefineLoss;
+        extra factors stay legal (unused)."""
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_extra_factors"
+        settings.NUM_EPOCHS = 1
+        settings.LOSS_FACTORS = [2.0, 1.0, 0.5, 0.5]
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        runner.run()
+        import pandas as pd
+        rec = pd.read_csv(os.path.join(out, "models", "tiny_extra_factors",
+                                       "records.csv"))
+        assert np.isfinite(rec["tr_loss"]).all()
+
+
 class TestEquivarianceTraining:
     def test_aff_refine_loss_in_trainer(self, env, tmp_path):
         """The 3-term equivariance+refinement objective trains through the
