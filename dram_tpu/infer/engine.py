@@ -214,8 +214,9 @@ class LesionSegTest:
         pred_ratio = float(probs[lobe80].mean()) if lobe80.any() else 0.0
         cls_pred = ratio_to_label([pred_ratio])[0]
 
-        cam = np.maximum(out, 0.0)
-        cam = resize3d_np(cam, scan_chunk.shape, "trilinear")
+        # reference order (job_runner.py:993-997): resize the raw logits
+        # back first, THEN relu and max-normalise
+        cam = resize3d_np(out, scan_chunk.shape, "trilinear")
         cam = np.maximum(cam, 0.0)
         m = cam.max()
         if m > 0:

@@ -129,6 +129,21 @@ def gather_resize(x, weights):
     return x
 
 
+def _crop_box_mask(box_lo, box_sz, bucket):
+    """(N,3) crop offsets/sizes -> (N, *bucket) bool: positions inside each
+    lobe's crop window. The CAM max normalisation runs over this box (the
+    reference normalises over the full resized crop tensor,
+    job_runner.py:996-997, not just the lobe voxels)."""
+    m = None
+    for ax in range(3):
+        i = jax.lax.broadcasted_iota(jnp.int32, tuple(bucket), ax)[None]
+        lo = box_lo[:, ax][:, None, None, None]
+        hi = lo + box_sz[:, ax][:, None, None, None]
+        t = (i >= lo) & (i < hi)
+        m = t if m is None else (m & t)
+    return m
+
+
 class FastScanPipeline:
     """Single-chip fast path; one instance per (scan-grid, bucket) shapes."""
 
@@ -226,7 +241,7 @@ class FastScanPipeline:
         @jax.jit
         def stage2(params, batch_stats, iso_scan, iso_lobe, starts,
                    fw_los, fw_his, fw_fracs, bw_los, bw_his, bw_fracs,
-                   lobe_present):
+                   lobe_present, box_lo, box_sz):
             # crop every lobe into the shared bucket
             crops, lobe_crops = [], []
             for li in range(n_lobes):
@@ -255,15 +270,17 @@ class FastScanPipeline:
                 jnp.maximum(jnp.sum(lm, (1, 2, 3)), 1.0)
             nonzero_cls = (ratio >= CTSS_RATIO_UB[0]).astype(jnp.float32)
 
-            cam = jnp.maximum(out, 0.0)
-            cam_max = jnp.max(cam, (1, 2, 3), keepdims=True)
-            cam = cam / jnp.maximum(cam_max, 1e-12)
-            cam = cam * nonzero_cls[:, None, None, None]
-            cam = cam * (lobe_present[:, None, None, None])
-
+            # reference order (job_runner.py:993-997): resize the RAW
+            # logits back, relu, then max-normalise over the crop box
             bw = ([bw_los[i] for i in range(3)], [bw_his[i] for i in range(3)],
                   [bw_fracs[i] for i in range(3)])
-            cam_b = gather_resize(cam, bw)             # (5, *bucket)
+            cam_b = jnp.maximum(gather_resize(out, bw), 0.0)  # (5, *bucket)
+            box = _crop_box_mask(box_lo, box_sz, bucket)
+            cam_max = jnp.max(jnp.where(box, cam_b, 0.0), (1, 2, 3),
+                              keepdims=True)
+            cam_b = cam_b / jnp.maximum(cam_max, 1e-12)
+            cam_b = cam_b * nonzero_cls[:, None, None, None]
+            cam_b = cam_b * (lobe_present[:, None, None, None])
 
             htp = jnp.zeros(iso_shape, jnp.float32)
             for li in range(n_lobes):
@@ -404,6 +421,8 @@ class FastScanPipeline:
         fw = forward_resize_weights(sizes, offsets, self.chunk_size, bucket)
         bw = backward_resize_weights(sizes, offsets, self.chunk_size, bucket)
         stage2 = self._get_stage2(iso_shape, bucket)
+        box_args = (jnp.asarray(np.asarray(offsets, np.int32)),
+                    jnp.asarray(np.asarray(sizes, np.int32)))
         htp, ratio, nz = stage2(
             self.params, self.batch_stats, iso_scan, iso_lobe,
             jnp.asarray(starts),
@@ -411,7 +430,7 @@ class FastScanPipeline:
             [jnp.asarray(a) for a in fw[2]],
             [jnp.asarray(a) for a in bw[0]], [jnp.asarray(a) for a in bw[1]],
             [jnp.asarray(a) for a in bw[2]],
-            jnp.asarray(present))
+            jnp.asarray(present), *box_args)
         return htp, ratio
 
     def _finish(self, iso_scan, iso_lobe, lows, sizes, present, iso_shape,
@@ -513,7 +532,7 @@ class FastScanPipeline:
         @jax.jit
         def stage2c(params, batch_stats, x80_u8, lobe_bits, cand_bits,
                     starts, fw_los, fw_his, fw_fracs, bw_los, bw_his,
-                    bw_fracs, lobe_present, gz, gy, gx):
+                    bw_fracs, lobe_present, box_lo, box_sz, gz, gy, gx):
             lmask = unpackbits_u8_dev(lobe_bits, (n_lobes, *bucket))
             x80 = x80_u8.astype(jnp.float32) / 255.0
             fw = ([fw_los[i] for i in range(3)], [fw_his[i] for i in range(3)],
@@ -531,15 +550,17 @@ class FastScanPipeline:
                 jnp.maximum(jnp.sum(lm, (1, 2, 3)), 1.0)
             nonzero_cls = (ratio >= CTSS_RATIO_UB[0]).astype(jnp.float32)
 
-            cam = jnp.maximum(out, 0.0)
-            cam_max = jnp.max(cam, (1, 2, 3), keepdims=True)
-            cam = cam / jnp.maximum(cam_max, 1e-12)
-            cam = cam * nonzero_cls[:, None, None, None]
-            cam = cam * (lobe_present[:, None, None, None])
-
+            # reference order (job_runner.py:993-997): resize the RAW
+            # logits back, relu, then max-normalise over the crop box
             bw = ([bw_los[i] for i in range(3)], [bw_his[i] for i in range(3)],
                   [bw_fracs[i] for i in range(3)])
-            cam_b = gather_resize(cam, bw)
+            cam_b = jnp.maximum(gather_resize(out, bw), 0.0)
+            box = _crop_box_mask(box_lo, box_sz, bucket)
+            cam_max = jnp.max(jnp.where(box, cam_b, 0.0), (1, 2, 3),
+                              keepdims=True)
+            cam_b = cam_b / jnp.maximum(cam_max, 1e-12)
+            cam_b = cam_b * nonzero_cls[:, None, None, None]
+            cam_b = cam_b * (lobe_present[:, None, None, None])
 
             htp = jnp.zeros(iso_shape, jnp.float32)
             lung = jnp.zeros(iso_shape, bool)
@@ -595,6 +616,8 @@ class FastScanPipeline:
             [jnp.asarray(a) for a in prepc["bw"][1]],
             [jnp.asarray(a) for a in prepc["bw"][2]],
             jnp.asarray(prepc["present"]),
+            jnp.asarray(np.asarray(prepc["offsets"], np.int32)),
+            jnp.asarray(np.asarray(prepc["sizes"], np.int32)),
             *[jnp.asarray(t) for t in tables]]
         return prepc
 
@@ -766,6 +789,7 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
             "cand_bits": cand_bits,
             "starts": starts, "bucket": bucket,
             "fw": fw, "bw": bw, "present": present,
+            "offsets": offsets, "sizes": sizes,
             "intensity_threshold": min(th_u8, 255.0) / 255.0,
             "iso_shape": iso_shape,
             "crop_lo": crop_lo.astype(np.int64),
@@ -835,6 +859,7 @@ def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
             "cand_bits": np.packbits(cand.reshape(-1)),
             "starts": starts, "bucket": bucket,
             "fw": fw, "bw": bw, "present": present,
+            "offsets": offsets, "sizes": sizes,
             "intensity_threshold": th_i,
             "iso_shape": iso_shape,
             "crop_lo": prep["crop_lo"],

@@ -93,7 +93,12 @@ class DC3DATGeneric(nn.Module):
         return resize3d(refined, raw_size, method="trilinear",
                         align_corners=True).astype(jnp.float32)
 
-    def __call__(self, x, lungs=None):
+    def compute_features(self, x):
+        """U-Net trunk + tap heads: (dense logits, PCM input features).
+
+        Split out of __call__ so parity harnesses can check the exact
+        pre-PCM tensors against a literal torch oracle
+        (tests/test_reference_parity.py)."""
         x = x.astype(self.dtype)
         taps = []
         nc = 0
@@ -122,6 +127,10 @@ class DC3DATGeneric(nn.Module):
         taps = [resize3d(t, at_size, method="trilinear", align_corners=True)
                 for t in taps]
         attention_features = jnp.concatenate(taps, axis=-1)
+        return dense_outs, attention_features
+
+    def __call__(self, x, lungs=None):
+        dense_outs, attention_features = self.compute_features(x)
         refined_dense_outs = self.apply_attention(dense_outs, attention_features)
         return dense_outs, refined_dense_outs
 

@@ -63,8 +63,8 @@ def _engine_like_reference(scan, lobe, spacing, model, params, batch_stats):
         l16 = ret["#lobe_reference"] > 0
         probs = 1 / (1 + np.exp(-out))
         ratio = float(probs[l16].mean()) if l16.any() else 0.0
-        cam = np.maximum(out, 0)
-        cam = resize3d_np(cam, scan_chunk.shape, "trilinear")
+        # reference order: resize raw logits back, then relu + /max
+        cam = resize3d_np(out, scan_chunk.shape, "trilinear")
         cam = np.maximum(cam, 0)
         if cam.max() > 0:
             cam = cam / cam.max()
@@ -95,15 +95,19 @@ class TestFastPipelineParity:
 
         htp_f = np.asarray(out["heatmap_iso"])
         assert htp_f.shape == iso_shape
-        # heatmaps agree where defined
+        # With the reference resize->relu->/max order in stage2, the only
+        # remaining fast-vs-host difference is the gather-resize twin of
+        # the ITK/align-corners resizes (attribution: the former 0.08/0.92
+        # gates were dominated by the normalise-before-resize order, now
+        # fixed). Heatmaps agree almost pointwise:
         mask = (htp_o > 0) | (htp_f > 0)
         if mask.any():
             diff = np.abs(htp_f - htp_o)[mask]
-            assert np.quantile(diff, 0.95) < 0.08
-        # thresholds agree closely
-        assert out["threshold"] == pytest.approx(th_o, abs=5 / 255)
+            assert np.quantile(diff, 0.95) < 0.005
+        # thresholds land within one Otsu bin
+        assert out["threshold"] == pytest.approx(th_o, abs=2 / 255)
 
-        # final mask at the original grid mostly matches
+        # final mask at the original grid matches
         pred_f = out["pred"] > 0
         from dram_tpu.data.transforms import resample_array
         pred_o_orig, _ = resample_array(
@@ -113,7 +117,7 @@ class TestFastPipelineParity:
         inter = np.logical_and(pred_f, pred_o_orig).sum()
         denom = pred_f.sum() + pred_o_orig.sum()
         dice = 2 * inter / max(denom, 1)
-        assert denom == 0 or dice > 0.92, f"dice {dice}"
+        assert denom == 0 or dice > 0.99, f"dice {dice}"
 
     def test_prepped_path_matches_device_path(self, model_and_params):
         """Host-prep (iso resample + 12/4-bit packing) + device decode must

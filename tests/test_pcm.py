@@ -18,9 +18,29 @@ def _linear(x, kernel, bias):
     return x @ kernel + bias
 
 
+def _softmax(v):
+    e = np.exp(v - v.max())
+    return e / e.sum()
+
+
+def _l2norm(v, eps=1e-12):
+    # torch F.normalize(dim=-1) semantics (reference models.py:270,296)
+    return v / max(np.linalg.norm(v), eps)
+
+
 def pcm_oracle(cam, f, p, offsets, merge, n_iter=1, residual=False,
-               f_dim=None, g_dim=None):
-    """cam: (B,D,H,W,1), f: (B,D,H,W,C); p: dict of kernel/bias arrays."""
+               f_dim=None, g_dim=None, geo=None, geo_f_dim=None):
+    """cam: (B,D,H,W,1), f: (B,D,H,W,C); p: dict of kernel/bias arrays.
+
+    `geo`: optional (D,H,W,p_enc_dim) positional-encoding volume for the
+    geo merge types (reference models.py:278-290); `geo_f_dim` truthy means
+    geo features go through the geo_theta/geo_phi linears.
+
+    Edge weights follow reference merge_func (models.py:261-320) literally,
+    per node over its truncated neighbour list; the degree scale
+    sqrt(f.shape[-1]) is the per-node in-degree because DGL's reduce is
+    degree-bucketed.
+    """
     B = cam.shape[0]
     spatial = cam.shape[1:4]
     out = cam.copy()
@@ -33,6 +53,12 @@ def pcm_oracle(cam, f, p, offsets, merge, n_iter=1, residual=False,
         if g_dim else (lambda v: v)
     r = (lambda v: _linear(v, p["r"]["kernel"], p["r"]["bias"])) \
         if g_dim else (lambda v: v)
+    gth = (lambda v: _linear(v, p["geo_theta"]["kernel"],
+                             p["geo_theta"]["bias"])) \
+        if geo_f_dim else (lambda v: v)
+    gph = (lambda v: _linear(v, p["geo_phi"]["kernel"],
+                             p["geo_phi"]["bias"])) \
+        if geo_f_dim else (lambda v: v)
 
     for _ in range(n_iter):
         new = np.zeros_like(out)
@@ -46,19 +72,41 @@ def pcm_oracle(cam, f, p, offsets, merge, n_iter=1, residual=False,
                 deg = len(nbrs)
                 ti = th(f[b][i])
                 logits = np.array([ti @ ph(f[b][j]) for j in nbrs])
+                if geo is not None:
+                    gti = gth(geo[i])
+                    geo_logits = np.array([gti @ gph(geo[j]) for j in nbrs])
                 if merge == "scaled_dot_product_relu":
-                    w = np.maximum(logits, 0) / np.sqrt(deg)
-                    w = np.exp(w - w.max())
-                    w = w / w.sum()
+                    w = _softmax(np.maximum(logits, 0) / np.sqrt(deg))
+                elif merge == "scaled_dot_product":
+                    w = _softmax(logits / np.sqrt(deg))
+                elif merge == "scaled_dot_product_geo":
+                    w = _softmax((logits + geo_logits) / np.sqrt(deg))
+                elif merge == "scaled_dot_product_geo_relu":
+                    w = _softmax((np.maximum(logits, 0) + geo_logits)
+                                 / np.sqrt(deg))
+                elif merge == "att_is_all":
+                    s = np.array([(ti + gti) @ (ph(f[b][j]) + gph(geo[j]))
+                                  for j in nbrs])
+                    w = _softmax(s / np.sqrt(deg))
                 elif merge == "sm":
-                    w = np.exp(logits - logits.max())
-                    w = w / w.sum()
+                    w = _softmax(logits)
+                elif merge == "smscaled":
+                    w = _softmax(logits / 0.01)
                 elif merge == "smrelu":
-                    w = np.maximum(logits, 0)
-                    w = np.exp(w - w.max())
-                    w = w / w.sum()
+                    w = _softmax(np.maximum(logits, 0))
+                elif merge == "l2sm":
+                    w = _softmax(_l2norm(logits))
+                elif merge == "l2smrelu":
+                    w = _softmax(_l2norm(np.maximum(logits, 0)))
+                elif merge == "heu1":
+                    absd = np.array([np.abs(ti - ph(f[b][j])).sum()
+                                     for j in nbrs])
+                    v = logits / (1.0 + absd)
+                    v = np.where(v < 0.03, 0.0, v)
+                    w = v / (1e-7 + v.sum())
                 elif merge == "heu2":
-                    absd = np.array([np.abs(ti - ph(f[b][j])).sum() for j in nbrs])
+                    absd = np.array([np.abs(ti - ph(f[b][j])).sum()
+                                     for j in nbrs])
                     w = np.maximum(logits / (1.0 + absd), 0)
                     w = w / (1e-7 + w.sum())
                 elif merge == "l2":
@@ -66,13 +114,7 @@ def pcm_oracle(cam, f, p, offsets, merge, n_iter=1, residual=False,
                     w = np.exp(-5.0 * d2)
                     w = w / w.sum()
                 elif merge == "cosine":
-                    def cs(a, c):
-                        return (a @ c) / max(np.linalg.norm(a) * np.linalg.norm(c), 1e-8 ** 2)
-                    w = np.array([cs(ti / max(np.linalg.norm(ti), 1e-8),
-                                     ph(f[b][j]) / max(np.linalg.norm(ph(f[b][j])), 1e-8))
-                                  for j in nbrs])
-                    w = np.array([(ti / max(np.linalg.norm(ti), 1e-8)) @
-                                  (ph(f[b][j]) / max(np.linalg.norm(ph(f[b][j])), 1e-8))
+                    w = np.array([_l2norm(ti, 1e-8) @ _l2norm(ph(f[b][j]), 1e-8)
                                   for j in nbrs])
                     w = w / w.sum()
                 else:
@@ -87,7 +129,10 @@ def _np_params(variables):
     return jax.tree.map(np.asarray, variables["params"])
 
 
-@pytest.mark.parametrize("merge", ["scaled_dot_product_relu", "sm", "smrelu",
+# every non-geo merge branch of reference merge_func (models.py:261-320)
+@pytest.mark.parametrize("merge", ["scaled_dot_product_relu",
+                                   "scaled_dot_product", "sm", "smscaled",
+                                   "smrelu", "l2sm", "l2smrelu", "heu1",
                                    "heu2", "l2", "cosine"])
 def test_pcm_matches_graph_oracle(merge, rng):
     spatial = (4, 5, 6)
@@ -102,6 +147,30 @@ def test_pcm_matches_graph_oracle(merge, rng):
     offs = stencil_offsets(3, 2, False)
     want = pcm_oracle(cam, f, _np_params(variables), offs, merge,
                       f_dim=3, g_dim=4)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# every geo merge branch (p_enc_dim > 0), projected and identity geo feats
+@pytest.mark.parametrize("merge,geo_f_dim", [
+    ("scaled_dot_product_geo", 4),
+    ("scaled_dot_product_geo_relu", 4),
+    ("att_is_all", 4),          # needs f_dim == geo_f_dim for theta+geo_theta
+    ("scaled_dot_product_geo", 0),  # identity geo projections
+])
+def test_pcm_geo_merges_match_oracle(merge, geo_f_dim, rng):
+    spatial = (4, 4, 5)
+    cam = rng.normal(size=(1, *spatial, 1)).astype(np.float32)
+    f = rng.normal(size=(1, *spatial, 3)).astype(np.float32)
+    f_dim = 4 if merge == "att_is_all" else 3
+    m = PCM(pool_size=spatial, g_ch=1, f_dim=f_dim, g_dim=2, non_local_iter=1,
+            k_size=3, merge_type=merge, self_loop=False, connectivity=2,
+            p_enc_dim=12, geo_f_dim=geo_f_dim)
+    variables = m.init(jax.random.PRNGKey(4), jnp.asarray(cam), jnp.asarray(f))
+    got = np.asarray(m.apply(variables, jnp.asarray(cam), jnp.asarray(f)))
+    offs = stencil_offsets(3, 2, False)
+    geo = build_geo_feature(spatial, 12)
+    want = pcm_oracle(cam, f, _np_params(variables), offs, merge,
+                      f_dim=f_dim, g_dim=2, geo=geo, geo_f_dim=geo_f_dim)
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 

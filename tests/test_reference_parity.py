@@ -1,0 +1,469 @@
+"""End-to-end numerical parity vs a literal torch build of the reference.
+
+The per-op oracles (conv vs torch, resizes vs torch/ITK, loss math) bound
+single-stage error; this harness bounds *composed* error: a minimal literal
+torch implementation of the reference network (reference models.py:52-147
+DC3D, :415-597 DC3DATGeneric-minus-PCM, parts.py:66-196 blocks) and of the
+reference test chain (reference job_runner.py:954-1030: crop -> mask ->
+window -> resample -> forward -> CAM relu/max-norm -> stitch -> Otsu ->
+post rules) receives the *transplanted* flax parameters and must reproduce
+
+  (a) the dense-head logits (and the pre-PCM attention features) within fp
+      tolerance — untrained HeNorm weights, both the small and the real
+      reference channel plan;
+  (b) the full slow-path pipeline lesion masks on synthetic scans with
+      Dice >= 0.995 and matching Otsu thresholds;
+  (c) the same with trained (few-epoch) weights and their running BN stats.
+
+PCM stays on the explicit-graph NumPy oracle (tests/test_pcm.py) — DGL is
+not installable here, so the refined head has no literal torch twin; the
+chain below follows the engine's documented ratio->class rule
+(dram_tpu/infer/engine.py:15-20) on the dense head.
+"""
+
+import os
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from dram_tpu.core.ops import binary_cam_np, find_crops_np, windowing_np
+from dram_tpu.data import transforms as T
+from dram_tpu.data.prepare_data import make_synthetic_dataset
+from dram_tpu.losses.interval_reg import ratio_to_label
+from dram_tpu.models import DC3D, DC3DATGeneric
+from dram_tpu.utils import Settings, get_callable_by_name
+
+
+SMALL = dict(n_layers=2,
+             in_ch_list=(1, 8, 16, 48, 24),
+             base_ch_list=(4, 8, 16, 16, 8),
+             end_ch_list=(8, 16, 32, 16, 8),
+             padding_list=((1, 1),) * 5,
+             checkpoint_layers=(0, 0, 0, 0, 0),
+             kernel_sizes=[(3, 3)] * 5,
+             stacking=2, dropout=0.0, out_ch=1)
+
+# the shipped reference channel plan (exp_settings/st_dram_ref.py:57-59)
+REF = dict(n_layers=3,
+           in_ch_list=(1, 64, 128, 256, 768, 384, 192),
+           base_ch_list=(32, 64, 128, 256, 256, 128, 64),
+           end_ch_list=(64, 128, 256, 512, 256, 128, 64),
+           padding_list=((1, 1),) * 7,
+           checkpoint_layers=(0, 0, 0, 0, 0, 0, 0),
+           kernel_sizes=[(3, 3)] * 7,
+           stacking=3, dropout=0.0, out_ch=1)
+
+
+# ---------------------------------------------------------------------------
+# Literal torch twin of the reference network (eval-only, no checkpointing)
+
+
+def _t_stack(pairs):
+    """(Conv3d k3 p1 no-bias -> BatchNorm3d -> ReLU) x N — reference
+    ConvBlock5d conv stack (parts.py:103-110) with norm_method='bn'."""
+    layers = []
+    for ci, co in pairs:
+        layers += [tnn.Conv3d(ci, co, 3, padding=1, bias=False),
+                   tnn.BatchNorm3d(co), tnn.ReLU()]
+    return tnn.Sequential(*layers)
+
+
+def _t_crop_concat(t1, t2):
+    """reference parts.py:37-46 crop_concat_5d (NCDHW)."""
+    sl = (slice(None), slice(None)) + tuple(
+        slice(int(np.ceil((b - a) / 2)), a + int(np.ceil((b - a) / 2)))
+        for a, b in zip(t1.shape[2:], t2.shape[2:]))
+    return torch.cat([t1, t2[sl]], dim=1)
+
+
+class TorchRefDC3D(tnn.Module):
+    """reference models.py:52-147 DC3D forward, without the checkpoint()
+    wrappers (inference oracle; remat does not change values)."""
+
+    def __init__(self, n_layers, in_ch_list, base_ch_list, end_ch_list,
+                 out_ch, stacking, **_):
+        super().__init__()
+        self.n_layers = n_layers
+        self.stacking = stacking
+        self.ds = tnn.ModuleList(
+            [_t_stack([(in_ch_list[n], base_ch_list[n]),
+                       (base_ch_list[n], end_ch_list[n])])
+             for n in range(n_layers)])
+        self.bg = _t_stack([(in_ch_list[n_layers], base_ch_list[n_layers]),
+                            (base_ch_list[n_layers], end_ch_list[n_layers])])
+        self.us = tnn.ModuleList(
+            [_t_stack([(in_ch_list[n_layers + 1 + n],
+                        base_ch_list[n_layers + 1 + n]),
+                       (base_ch_list[n_layers + 1 + n],
+                        end_ch_list[n_layers + 1 + n])])
+             for n in range(n_layers)])
+        self.top = tnn.Conv3d(end_ch_list[n_layers + stacking], out_ch, 1)
+        self.pool = tnn.MaxPool3d(2, 2)
+
+    def trunk(self, x):
+        """Returns (pre-pool encoder features, decoder feature list)."""
+        feats, h = [], x
+        for ds in self.ds:
+            y = ds(h)
+            feats.append(y)
+            h = self.pool(y)
+        xbg = self.bg(h)
+        us_feats = [xbg]
+        for i, (us, skip) in enumerate(zip(self.us, reversed(feats))):
+            if self.stacking == i:
+                break
+            up = tF.interpolate(us_feats[-1], scale_factor=2,
+                                mode="trilinear", align_corners=True)
+            us_feats.append(us(_t_crop_concat(up, skip)))
+        return feats, us_feats
+
+    def forward(self, x):
+        _, us_feats = self.trunk(x)
+        dense = self.top(us_feats[-1])
+        return tF.interpolate(dense, size=x.shape[-3:], mode="trilinear",
+                              align_corners=True)
+
+
+class TorchRefDC3DAT(TorchRefDC3D):
+    """reference models.py:415-597 DC3DATGeneric trunk + tap heads; returns
+    (dense, pre-PCM attention features) — the PCM itself is oracle-tested
+    separately (tests/test_pcm.py)."""
+
+    def __init__(self, at_layers, at_f_dim, at_spatial_size, end_ch_list,
+                 **kw):
+        super().__init__(end_ch_list=end_ch_list, **kw)
+        self.at_layers = list(at_layers)
+        self.at_spatial_size = tuple(at_spatial_size)
+        self.reshape = tnn.ModuleList([
+            tnn.Sequential(tnn.Conv3d(end_ch_list[l], at_f_dim, 1),
+                           tnn.BatchNorm3d(at_f_dim), tnn.ReLU())
+            for l in self.at_layers if l != -1])
+
+    def forward_features(self, x):
+        taps = [x] if -1 in self.at_layers else []
+        feats, h = [], x
+        nc = 0
+        for idx, ds in enumerate(self.ds):
+            y = ds(h)
+            feats.append(y)
+            h = self.pool(y)
+            if idx in self.at_layers:
+                taps.append(self.reshape[nc](y.detach()))
+                nc += 1
+        xbg = self.bg(h)
+        if self.n_layers in self.at_layers:
+            taps.append(self.reshape[nc](xbg.detach()))
+            nc += 1
+        us_feats = [xbg]
+        for i, (us, skip) in enumerate(zip(self.us, reversed(feats))):
+            if self.stacking == i:
+                break
+            up = tF.interpolate(us_feats[-1], scale_factor=2,
+                                mode="trilinear", align_corners=True)
+            uf = us(_t_crop_concat(up, skip))
+            us_feats.append(uf)
+            if (self.n_layers + i + 1) in self.at_layers:
+                taps.append(self.reshape[nc](uf.detach()))
+                nc += 1
+        dense = self.top(us_feats[-1])
+        dense = tF.interpolate(dense, size=x.shape[-3:], mode="trilinear",
+                               align_corners=True)
+        taps = [tF.interpolate(t, size=self.at_spatial_size, mode="trilinear",
+                               align_corners=True) for t in taps]
+        return dense, torch.cat(taps, dim=1)
+
+
+# ---------------------------------------------------------------------------
+# Weight transplant: flax tree -> torch modules
+
+
+def _copy_conv(tconv, fp):
+    with torch.no_grad():
+        k = np.asarray(fp["kernel"], np.float32)  # (kd,kh,kw,ci,co)
+        tconv.weight.copy_(torch.from_numpy(k.transpose(4, 3, 0, 1, 2)))
+        if tconv.bias is not None:
+            tconv.bias.copy_(torch.from_numpy(
+                np.asarray(fp["bias"], np.float32)))
+
+
+def _copy_bn(tbn, fp, fs):
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(np.asarray(fp["scale"], np.float32)))
+        tbn.bias.copy_(torch.from_numpy(np.asarray(fp["bias"], np.float32)))
+        tbn.running_mean.copy_(torch.from_numpy(
+            np.asarray(fs["mean"], np.float32)))
+        tbn.running_var.copy_(torch.from_numpy(
+            np.asarray(fs["var"], np.float32)))
+
+
+def _copy_stack(tstack, fparams, fstats):
+    n = len(tstack) // 3
+    for j in range(n):
+        _copy_conv(tstack[3 * j], fparams[f"conv_{j}"])
+        _copy_bn(tstack[3 * j + 1], fparams[f"BatchNorm_{j}"],
+                 fstats[f"BatchNorm_{j}"])
+
+
+def transplant_dc3d(tmodel, params, batch_stats):
+    """flax DC3D variables -> TorchRefDC3D state (weights + running stats)."""
+    for i, ds in enumerate(tmodel.ds):
+        _copy_stack(ds, params[f"ds_{i}"]["convs"],
+                    batch_stats[f"ds_{i}"]["convs"])
+    _copy_stack(tmodel.bg, params["bg"]["convs"], batch_stats["bg"]["convs"])
+    for i, us in enumerate(tmodel.us):
+        _copy_stack(us, params[f"us_{i}"]["convs"],
+                    batch_stats[f"us_{i}"]["convs"])
+    _copy_conv(tmodel.top, params["top_layer"])
+    tmodel.eval()
+
+
+def transplant_dc3d_at(tmodel, params, batch_stats):
+    transplant_dc3d(tmodel, params["backbone"], batch_stats["backbone"])
+    for i, head in enumerate(tmodel.reshape):
+        _copy_conv(head[0], params[f"reshape_{i}"]["conv"])
+        _copy_bn(head[1], params[f"reshape_{i}"]["bn"],
+                 batch_stats[f"reshape_{i}"]["bn"])
+    tmodel.eval()
+
+
+def _nchw(x):
+    """flax (B,D,H,W,C) -> torch NCDHW tensor."""
+    return torch.from_numpy(np.asarray(x, np.float32).transpose(0, 4, 1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# (a) model-forward parity
+
+
+class TestDenseHeadParity:
+    @pytest.mark.parametrize("cfg,size,tol", [
+        (SMALL, 32, 2e-4),
+        (REF, 48, 2e-3),  # all 13 convs at the real channel widths
+    ], ids=["small32", "reference48"])
+    def test_dc3d_logits_match_torch(self, cfg, size, tol):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, size, size, size, 1)).astype(np.float32)
+        m = DC3D(train=False, **cfg)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        dense, _ = m.apply(v, jnp.asarray(x))
+        got = np.asarray(dense, np.float32)[..., 0]
+
+        tm = TorchRefDC3D(**cfg)
+        transplant_dc3d(tm, v["params"], v["batch_stats"])
+        with torch.no_grad():
+            want = tm(_nchw(x))[:, 0].numpy()
+        np.testing.assert_allclose(got, want, atol=tol, rtol=1e-3)
+
+    def test_dc3dat_dense_and_attention_features(self):
+        at = dict(at_spatial_size=(8, 8, 8), at_layers=(-1, 0, 1),
+                  at_f_dim=4, at_g_dim=4)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32)
+        m = DC3DATGeneric(train=False, **SMALL, **at)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        dense, att = m.apply(v, jnp.asarray(x),
+                             method=DC3DATGeneric.compute_features)
+
+        tm = TorchRefDC3DAT(
+            at_layers=at["at_layers"], at_f_dim=at["at_f_dim"],
+            at_spatial_size=at["at_spatial_size"], **SMALL)
+        transplant_dc3d_at(tm, v["params"], v["batch_stats"])
+        with torch.no_grad():
+            t_dense, t_att = tm.forward_features(_nchw(x))
+        np.testing.assert_allclose(
+            np.asarray(dense)[..., 0], t_dense[:, 0].numpy(),
+            atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(att), t_att.permute(0, 2, 3, 4, 1).numpy(),
+            atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# (b)/(c) full slow-path pipeline parity
+
+SETTINGS_TMPL = textwrap.dedent("""
+    DB_PATH = {db!r}
+    VALID_CSV = {db!r} + "/val.csv"
+    TEST_CSV = {db!r} + "/test.csv"
+    DEBUG_PATH = {out!r} + "/debug/"
+    MODEL_ROOT_PATH = {out!r} + "/models/"
+    JOB_RUNNER_CLS = "job_runner.LesionSegChunkTrain"
+    EXP_NAME = "parity"
+    MODEL_NAME = "DC3D"
+    RESAMPLE_MODE = "fixed_size"
+    NUM_EPOCHS = 2
+    VAL_EPOCHS = 5
+    STATE_EPOCHS = 1
+    NUM_WORKERS = 0
+    LOG_STEPS = 100
+    AUG_RATIO = 0.0
+    BALANCED_LABEL_COUNT = 2
+    TRAIN_BATCH_SIZE = 2
+    RESAMPLE_SPACING = 1.0
+    TEST_RESAMPLE_SPACING = 2.0
+    RESAMPLE_SIZE = (16, 16, 16)
+    LOSS_FACTORS = [2.0, 1.0]
+    PAD_VALUE = -2048
+    WINDOWING_MAX = -300
+    WINDOWING_MIN = -1000
+    NR_CLASS = 1
+    COMPUTE_DTYPE = "float32"
+    USE_FAST_INFERENCE = False
+    RELOAD_CHECKPOINT = False
+    RELOAD_CHECKPOINT_PATH = None
+    RELOAD_DICT_LIST = ["model"]
+    MODEL = {{
+        "method": "models.DC3D",
+        "n_layers": 2,
+        "in_ch_list": [1, 8, 16, 48, 24],
+        "base_ch_list": [4, 8, 16, 16, 8],
+        "end_ch_list": [8, 16, 32, 16, 8],
+        "kernel_sizes": [(3, 3)] * 5,
+        "stacking": 2,
+        "padding_list": [(1, 1)] * 5,
+        "checkpoint_layers": [0, 0, 0, 0, 0],
+        "dropout": 0.0,
+        "out_ch": 1,
+    }}
+    INITIALIZER = {{"method": "models.HeNorm", "mode": "fan_in"}}
+    OPTIMIZER = {{"method": "torch.optim.Adam", "lr": 0.001}}
+    SCHEDULER = {{"method": "torch.optim.lr_scheduler.ExponentialLR",
+                  "gamma": 0.9}}
+    LOSS_FUNC = {{"method": "metrics.IntRegRefineLoss",
+                  "band_width": 1e-2, "smoothing": 0.1}}
+""")
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory):
+    """Synthetic db + untrained init checkpoint + 2-epoch-trained ckpt."""
+    from dram_tpu.train.checkpoint import save_checkpoint
+
+    db = str(tmp_path_factory.mktemp("db"))
+    out = str(tmp_path_factory.mktemp("out"))
+    make_synthetic_dataset(db, n_scans=3, size=(24, 32, 32), seed=0)
+    cfgdir = tmp_path_factory.mktemp("cfg")
+    sfile = cfgdir / "s.py"
+    sfile.write_text(SETTINGS_TMPL.format(db=db, out=out))
+    settings = Settings(str(sfile))
+    runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+        settings_module=settings)
+    init_ckpt = str(cfgdir / "init.ckpt")
+    save_checkpoint(init_ckpt, {"epoch": 0, "iteration": 0,
+                                "model": runner.model_state_tree(),
+                                "metrics": {}})
+    runner.run()
+    trained_ckpt = os.path.join(out, "models", "parity", "1.ckpt")
+    assert os.path.exists(trained_ckpt)
+    return str(sfile), init_ckpt, trained_ckpt
+
+
+def torch_reference_chain(scan_data, tmodel, s):
+    """Literal torch rebuild of the reference test loop
+    (reference job_runner.py:954-1014), with the engine's documented
+    ratio->class rule in place of the degenerate out_ch=1 argmax
+    (dram_tpu/infer/engine.py:15-20). Host prep (crop/window/resample) is
+    the same golden-tested code the engine uses, so any divergence is the
+    model forward / resize-back / stitch / threshold composition."""
+    scan = scan_data["#image"]
+    lobe = scan_data["#lobe_reference"]
+    meta = scan_data["meta"]
+    pre = T.Compose([
+        T.Windowing(min=s.WINDOWING_MIN, max=s.WINDOWING_MAX),
+        T.Resample(mode=s.RESAMPLE_MODE, factor=s.RESAMPLE_SPACING,
+                   size=s.RESAMPLE_SIZE)])
+    htp = np.zeros(scan.shape, np.float32)
+    for lobe_label in range(1, 6):
+        lobe_binary = lobe == lobe_label
+        if lobe_binary.sum() < 1:
+            continue
+        crop = find_crops_np(lobe_binary, meta["spacing"], 5)
+        lobe_chunk = lobe_binary[crop]
+        scan_chunk = scan[crop].copy()
+        scan_chunk[lobe_chunk == 0] = s.PAD_VALUE
+        ret = pre({"#image": scan_chunk.astype(np.int16),
+                   "#lobe_reference": lobe_chunk.astype(np.uint8),
+                   "meta": {"size": scan_chunk.shape,
+                            "spacing": meta["spacing"]}})
+        t_img = torch.from_numpy(
+            ret["#image"][None, None].astype(np.float32))
+        with torch.no_grad():
+            dense = tmodel(t_img)                     # (1,1,*chunk)
+        out = dense[0, 0].numpy()
+        lobe_small = np.asarray(ret["#lobe_reference"]) > 0
+        probs = 1.0 / (1.0 + np.exp(-out))
+        ratio = float(probs[lobe_small].mean()) if lobe_small.any() else 0.0
+        cls_pred = ratio_to_label([ratio])[0]
+
+        # reference job_runner.py:993-997: interpolate -> relu -> /max
+        with torch.no_grad():
+            cam = tF.relu(tF.interpolate(dense, size=scan_chunk.shape,
+                                         mode="trilinear",
+                                         align_corners=True))[0, 0].numpy()
+        if cam.max() > 0:
+            cam = cam / cam.max()
+        if cls_pred < 1e-7:
+            cam[:] = 0.0
+        mask = lobe_chunk > 0
+        htp[crop][mask] = cam[mask]
+
+    lung = lobe > 0
+    _, th = binary_cam_np(htp[lung])
+    pred = htp > th
+    w_scan = windowing_np(scan, to_span=(0, 1))
+    _, th_i = binary_cam_np(w_scan[lung], 0.75)
+    vessel = scan_data.get("#vessel_reference", np.zeros_like(lobe))
+    post = np.logical_and(np.logical_and(pred, w_scan > th_i),
+                          np.logical_not(vessel > 0))
+    return {"heatmap": htp, "pred": pred.astype(np.uint8),
+            "post": post.astype(np.uint8), "otsu_th": float(th)}
+
+
+def _dice(a, b, smooth=1e-5):
+    a = a > 0
+    b = b > 0
+    return (2.0 * np.logical_and(a, b).sum() + smooth) / \
+        (a.sum() + b.sum() + smooth)
+
+
+class TestSlowPipelineParity:
+    @pytest.mark.parametrize("which", ["untrained", "trained"])
+    def test_masks_match_torch_chain(self, pipeline_env, which):
+        sfile, init_ckpt, trained_ckpt = pipeline_env
+        from dram_tpu.infer.engine import LesionSegTest
+
+        settings = Settings(sfile)
+        settings.RELOAD_CHECKPOINT_PATH = \
+            init_ckpt if which == "untrained" else trained_ckpt
+        eng = LesionSegTest(settings_module=settings, use_fast_path=False)
+
+        tm = TorchRefDC3D(**SMALL)
+        transplant_dc3d(tm, jax.tree.map(np.asarray, eng.params),
+                        jax.tree.map(np.asarray, eng.batch_stats))
+
+        n_nonempty = 0
+        for idx in range(len(eng.test_set)):
+            scan_data = eng.test_set[idx]
+            mine = eng.process_scan(scan_data)
+            ref = torch_reference_chain(scan_data, tm, settings)
+
+            # heatmaps agree pointwise, thresholds land in the same bins
+            np.testing.assert_allclose(mine["heatmap"], ref["heatmap"],
+                                       atol=2e-3)
+            _, my_th = binary_cam_np(
+                mine["heatmap"][scan_data["#lobe_reference"] > 0])
+            assert abs(my_th - ref["otsu_th"]) <= 2.0 / 255.0
+            for key in ("pred", "post"):
+                if ref[key].sum() == 0 and mine[key].sum() == 0:
+                    continue
+                assert _dice(mine[key], ref[key]) >= 0.995, \
+                    f"{key} mask diverged on scan {idx} ({which})"
+            n_nonempty += int(ref["pred"].sum() > 0)
+        # the gate must not pass vacuously on all-empty masks
+        assert n_nonempty >= 1

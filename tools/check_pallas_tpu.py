@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Numeric check of both Pallas kernels at PRODUCTION shapes on a real TPU.
+
+The CPU test suite grad-checks the kernels in interpret mode at toy shapes
+(tests/test_pallas_attention.py, tests/test_pallas_conv.py); Mosaic
+lowering at the real shapes is a different code path, so this script runs
+on the actual chip and asserts:
+
+  1. stencil attention fwd + VJP at the flagship 64^3 / F=G=8 / B=5 shape
+     (reference st_dram_ref_att.py:72-76) vs the XLA stencil math;
+  2. fused conv3d fwd + VJP at a production DC3D layer shape (80^3, Ci=64)
+     vs lax.conv_general_dilated.
+
+Run it alone (the TPU grant is exclusive):  python tools/check_pallas_tpu.py
+Part of the verify recipe after editing core/pallas/*.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _report(name, got, want, atol, rtol):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    adiff = np.abs(got - want).max()
+    denom = np.maximum(np.abs(want), 1e-6)
+    rdiff = (np.abs(got - want) / denom).max()
+    ok = np.allclose(got, want, atol=atol, rtol=rtol)
+    print(f"{name}: max abs diff {adiff:.3e}, max rel diff {rdiff:.3e} "
+          f"-> {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def check_attention():
+    from dram_tpu.core.pallas.window_attention import stencil_attention
+    from dram_tpu.models.pcm import (_masked_softmax, _shift, _valid_masks,
+                                     stencil_offsets)
+
+    offs = stencil_offsets(3, 2, False)
+    B, S, F, G = 5, (64, 64, 64), 8, 8
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.normal(size=(B, *S, F)).astype(np.float32))
+    phi = jnp.asarray(rng.normal(size=(B, *S, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, *S, G)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(B, *S, G)).astype(np.float32))
+
+    def xla_attention(t, p, gg):
+        valid = _valid_masks(S, offs).astype(t.dtype)
+        sqrt_deg = jnp.sqrt(jnp.maximum(jnp.sum(valid, -1), 1.0))[..., None]
+        dots = jnp.stack([jnp.sum(t * _shift(p, off), -1) for off in offs], -1)
+        w = _masked_softmax(jax.nn.relu(dots) / sqrt_deg, valid[None])
+        out = 0.0
+        for k, off in enumerate(offs):
+            out = out + w[..., k:k + 1] * _shift(gg, off)
+        return out
+
+    def loss_pallas(t, p, gg):
+        return jnp.sum(stencil_attention(t, p, gg, offs, 4, False) * cot)
+
+    def loss_xla(t, p, gg):
+        return jnp.sum(xla_attention(t, p, gg) * cot)
+
+    ok = True
+    t0 = time.time()
+    fwd_p = jax.jit(lambda t, p, gg: stencil_attention(
+        t, p, gg, offs, 4, False))(theta, phi, g)
+    fwd_p.block_until_ready()
+    print(f"attention fwd (pallas) compiled+ran in {time.time() - t0:.1f}s")
+    fwd_x = jax.jit(xla_attention)(theta, phi, g)
+    ok &= _report("attention fwd 64^3 F=G=8 B=5", fwd_p, fwd_x,
+                  atol=2e-3, rtol=2e-3)
+
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(theta, phi, g)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(theta, phi, g)
+    for a, b, name in zip(gp, gx, ("theta", "phi", "g_cam")):
+        ok &= _report(f"attention VJP d{name}", a, b, atol=5e-3, rtol=5e-3)
+    return ok
+
+
+def check_conv3d():
+    from dram_tpu.core.pallas.conv3d import conv3d_pallas
+
+    B, S, Ci, Co = 2, (80, 80, 80), 64, 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, *S, Ci)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)).astype(np.float32)
+                    * 0.05)
+    cot = jnp.asarray(rng.normal(size=(B, *S, Co)).astype(np.float32))
+
+    def xla_conv(xx, ww):
+        return jax.lax.conv_general_dilated(
+            xx, ww, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    ok = True
+    t0 = time.time()
+    yp = jax.jit(conv3d_pallas)(x, w)
+    yp.block_until_ready()
+    print(f"conv3d fwd (pallas) compiled+ran in {time.time() - t0:.1f}s")
+    yx = jax.jit(xla_conv)(x, w)
+    ok &= _report("conv3d fwd 80^3 64->32", yp, yx, atol=2e-3, rtol=2e-2)
+
+    gp = jax.jit(jax.grad(lambda a, b: jnp.sum(conv3d_pallas(a, b) * cot),
+                          argnums=(0, 1)))(x, w)
+    gx = jax.jit(jax.grad(lambda a, b: jnp.sum(xla_conv(a, b) * cot),
+                          argnums=(0, 1)))(x, w)
+    ok &= _report("conv3d VJP dx", gp[0], gx[0], atol=5e-3, rtol=2e-2)
+    ok &= _report("conv3d VJP dw", gp[1], gx[1], atol=5e-2, rtol=2e-2)
+    return ok
+
+
+def main():
+    from dram_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    print(f"backend: {backend}")
+    if backend != "tpu":
+        print("WARNING: not on TPU — this checks Mosaic lowering; "
+              "run it on the chip.")
+    ok = check_attention()
+    ok &= check_conv3d()
+    print("ALL OK" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
