@@ -105,20 +105,64 @@ def batch_spec(mesh):
     return P(tuple(mesh.axis_names))
 
 
+def process_local_rows(sharding, global_shape):
+    """Leading-axis row range [lo, hi) of `global_shape` that THIS process's
+    addressable devices own under `sharding`. With a process-major device
+    order (jax.devices(), and best_mesh's DCN grouping) the range is
+    contiguous; asserts if it is not."""
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    spans = []
+    for idx in idx_map.values():
+        sl = idx[0]
+        spans.append((sl.start or 0,
+                      global_shape[0] if sl.stop is None else sl.stop))
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    n_rows = sum(e - s for s, e in set(spans))
+    assert n_rows == hi - lo, \
+        "process-local batch rows are not contiguous; use a process-major mesh"
+    return lo, hi
+
+
 def shard_batch_arrays(mesh, arrays, axis_name=None):
-    """device_put each array with its leading (batch) axis sharded over
-    all mesh axes (or an explicit axis subset)."""
+    """Shard each array's leading (batch) axis over all mesh axes (or an
+    explicit axis subset).
+
+    Single-process: a plain device_put. Multi-process (jax.distributed):
+    every process passes the same GLOBAL batch (the identically-seeded
+    sampler makes the loaders agree), and each process hands only its own
+    row slice to `jax.make_array_from_process_local_data` — no process ever
+    device_puts onto a non-addressable device.
+    """
     names = tuple(mesh.axis_names) if axis_name is None else axis_name
+    multi = jax.process_count() > 1
     out = []
     for a in arrays:
         spec = P(names) if np.ndim(a) >= 1 else P()
-        out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec)))
+        sh = NamedSharding(mesh, spec)
+        if multi:
+            a = np.asarray(a)
+            if a.ndim >= 1:
+                lo, hi = process_local_rows(sh, a.shape)
+                out.append(jax.make_array_from_process_local_data(
+                    sh, np.ascontiguousarray(a[lo:hi]), a.shape))
+            else:
+                out.append(jax.make_array_from_process_local_data(
+                    sh, a, a.shape))
+        else:
+            out.append(jax.device_put(jnp.asarray(a), sh))
     return tuple(out)
 
 
 def replicate(mesh, tree):
-    """device_put a pytree fully replicated on the mesh."""
+    """Put a pytree fully replicated on the mesh (multi-process safe)."""
     s = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def put(a):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(a.shape, s,
+                                                lambda idx: a[idx])
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
 
 
