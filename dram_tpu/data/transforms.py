@@ -606,30 +606,58 @@ class RandomAffineTransform3D:
         return out
 
 
-class MinimalIntensityProjection:
-    """Sliding min-intensity projection along z (ref :409-441)."""
+def _trailing_projection(data, slab, axis, reduce_max):
+    """Exact reference slab projection (data_transforms.py:416-430): output
+    slice si = min/max over input slices [max(0, si-slab), si] along `axis`
+    — a TRAILING window of length slab+1, clipped at the volume start.
 
-    def __init__(self, window=3):
-        self.window = window
+    Implemented as a 1-d sliding filter with origin +(slab//2) (scipy:
+    positive origin shifts the window toward lower indices) and
+    edge-replicate padding: at si < slab the replicated edge values repeat
+    data[0], which never changes a min/max over a window already containing
+    index 0, so the clipped-window semantics are reproduced exactly.
+    """
+    filt = ndimage.maximum_filter1d if reduce_max else ndimage.minimum_filter1d
+    return filt(data, size=slab + 1, axis=axis, mode="nearest",
+                origin=slab // 2)
+
+
+class MinimalIntensityProjection:
+    """Sliding minimum-intensity slab projection (ref :409-441): per call,
+    a random slab thickness from [lo, hi) and a random projection axis."""
+
+    reduce_max = False
+
+    def __init__(self, slab_thickness=(3, 10), angle=(0, 3)):
+        self.slab_thickness = tuple(slab_thickness)
+        self.angle = tuple(angle)
+
+    def _draw(self):
+        slab = int(np.random.randint(*self.slab_thickness))
+        axis = int(np.random.randint(*self.angle))
+        return slab, axis
 
     def __call__(self, sample):
-        return {k: (ndimage.minimum_filter1d(v, self.window, axis=-3)
+        slab, axis = self._draw()
+        return {k: (_trailing_projection(v.astype(np.float32), slab,
+                                         axis - 3, self.reduce_max)
                     if _is_image_key(k) else v)
                 for k, v in sample.items()}
 
 
 class MinimalIntensityAxialProjection(MinimalIntensityProjection):
-    pass
+    """Axial (z-only) variant (ref :443-470). The reference computes a
+    spacing-scaled axial_thickness but then projects with the raw
+    slab_thickness (a latent defect we mirror for parity: :453-457)."""
+
+    def __init__(self, slab_thickness=(3, 10)):
+        super().__init__(slab_thickness, angle=(0, 1))
 
 
-class MaximumIntensityProjection:
-    def __init__(self, window=3):
-        self.window = window
+class MaximumIntensityProjection(MinimalIntensityProjection):
+    """Maximum-intensity counterpart (ref :473-504)."""
 
-    def __call__(self, sample):
-        return {k: (ndimage.maximum_filter1d(v, self.window, axis=-3)
-                    if _is_image_key(k) else v)
-                for k, v in sample.items()}
+    reduce_max = True
 
 
 # the reference train pool (job_runner.py:561-568) with random-permutation

@@ -13,10 +13,12 @@ Deviations from the reference (documented):
 * The reference composes a random PERMUTATION of {rescale, flip, rot90}
   (metrics.py:224-243); here the ops apply in a fixed order
   (rescale, flip, rot90). Keep-probability (0.6 each) and the per-axis
-  rescale-size sampling from the configured pool match the reference; the
-  shape-changing rescale is drawn statically per EPOCH (draw_rescale_static
-  + trainer reseed) instead of per call — XLA shapes must be static. The
-  consistency contract (identical T on both paths) is unchanged.
+  rescale-size sampling from the configured pool match the reference,
+  drawn per CALL: the shape-changing rescale is re-drawn on host every
+  step (draw_rescale_static + trainer reseed) and the trainer swaps in
+  the jitted step cached for that size — one compile per distinct size,
+  reference cadence at static XLA shapes. The consistency contract
+  (identical T on both paths) is unchanged.
 * The reference's stale 3-output unpack (metrics.py:192,433,442) is fixed
   to the 2-head model contract; the "cls" consistency term of
   IntRegAffRefineLoss uses the refined head.
@@ -100,9 +102,10 @@ def draw_rescale_static(seed, pool):
     per-call sampling (metrics.py:224-231 + data_transforms.py:1210-1217):
     kept with p = 0.6 (np.random.randint(0,10) < 6) and, when kept, a
     per-axis target size np.random.choice(pool, 3). Shape-changing ops
-    can't be traced per step, so the draw is re-seeded per EPOCH by the
-    trainer (the one remaining cadence deviation besides fixed application
-    order). Returns a (D,H,W) size tuple or None."""
+    can't be traced, so the trainer re-seeds this draw per STEP and swaps
+    in the matching jitted step from its cache (one compile per distinct
+    drawn size) — the reference's per-call cadence at static shapes.
+    Returns a (D,H,W) size tuple or None."""
     if not pool:
         return None
     rng = np.random.default_rng(seed)

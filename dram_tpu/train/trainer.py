@@ -627,6 +627,15 @@ class LesionSegChunkTrain(JobRunner):
             data_time.update(time.time() - end)
             images, lobes, lesions, ctss, weights = self._device_batch(batch)
             self.rng, step_rng = jax.random.split(self.rng)
+            # per-CALL transform sampling (reference metrics.py:224-231
+            # draws the equivariance rescale size every call): redraw the
+            # shape-changing rescale per step; the jitted-step cache keyed
+            # on the drawn size bounds compiles to one per distinct size
+            if hasattr(self.loss_func, "epoch_reseed"):
+                if self.loss_func.epoch_reseed(
+                        getattr(self.settings, "RANDOM_SEED", 33)
+                        + 7919 * self.epoch_n + 104729 * step_idx):
+                    self._build_train_step()
             self._set_lr(self.scheduler.lr)
             (self.params, self.batch_stats, self.opt_state, loss, losses) = \
                 self.train_step(self.params, self.batch_stats, self.opt_state,

@@ -25,8 +25,13 @@ except Exception:  # pragma: no cover
 def plot_confusion_matrix_from_data(y_true, y_pred, labels=None,
                                     save_path="cm", cmap="Oranges",
                                     figsize=(9, 9)):
-    """Confusion-matrix heatmap with per-cell counts + percentages and
-    totals row/column, saved as <save_path>.jpg."""
+    """Confusion-matrix heatmap with the reference's cell styling
+    (reference job_runner.py:27-242, pred_val_axis='y' default): rows are
+    predictions, columns actuals; interior cells show count + percent of
+    the grand total with white-on-green diagonal cells and red off-diagonal
+    text; totals row/column/corner cells get dark backgrounds with three
+    stacked bold lines — count (white), correct% (green), error% (red).
+    Saved as <save_path>.jpg."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -36,7 +41,8 @@ def plot_confusion_matrix_from_data(y_true, y_pred, labels=None,
     idx = {l: i for i, l in enumerate(labels)}
     cm = np.zeros((n, n), np.int64)
     for t, p in zip(y_true, y_pred):
-        cm[idx[t], idx[p]] += 1
+        # reference orientation: rows = predicted, cols = actual
+        cm[idx[p], idx[t]] += 1
 
     ext = np.zeros((n + 1, n + 1), np.int64)
     ext[:n, :n] = cm
@@ -46,17 +52,46 @@ def plot_confusion_matrix_from_data(y_true, y_pred, labels=None,
     total = max(int(cm.sum()), 1)
 
     fig, ax = plt.subplots(figsize=figsize)
-    ax.imshow(ext, cmap=cmap)
+    img = ax.imshow(ext, cmap=cmap)
+    # cell background overrides (reference configcell_text_and_colors)
+    diag_face = (0.35, 0.8, 0.55, 1.0)
+    tot_face = (0.27, 0.30, 0.27, 1.0)
+    corner_face = (0.17, 0.20, 0.17, 1.0)
     for i in range(n + 1):
         for j in range(n + 1):
             v = int(ext[i, j])
+            is_tot = i == n or j == n
+            if is_tot:
+                face = corner_face if (i == n and j == n) else tot_face
+                ax.add_patch(plt.Rectangle((j - 0.5, i - 0.5), 1, 1,
+                                           facecolor=face, edgecolor="w",
+                                           lw=0.5))
+                if v:
+                    k = min(i, j)
+                    ok = (np.trace(cm) if i == j == n else int(cm[k, k]))
+                    per_ok = 100.0 * ok / v
+                else:
+                    per_ok = 0.0
+                for dy, txt, color in (
+                        (-0.22, f"{v}", "w"),
+                        (0.0, "100%" if per_ok == 100 else f"{per_ok:.2f}%",
+                         "g"),
+                        (0.22, f"{100 - per_ok:.2f}%", "r")):
+                    ax.text(j, i + dy, txt, ha="center", va="center",
+                            fontsize=8, fontweight="bold", color=color)
+                continue
+            if i == j:
+                ax.add_patch(plt.Rectangle((j - 0.5, i - 0.5), 1, 1,
+                                           facecolor=diag_face,
+                                           edgecolor="w", lw=0.5))
             pct = 100.0 * v / total
-            txt = f"{v}\n{pct:.1f}%" if v else "0"
-            ax.text(j, i, txt, ha="center", va="center", fontsize=8)
+            txt = f"{v}\n{pct:.2f}%" if v else "0"
+            ax.text(j, i, txt, ha="center", va="center", fontsize=8,
+                    color="w" if i == j else "r")
     tick = [str(l) for l in labels] + ["total"]
-    ax.set_xticks(range(n + 1)), ax.set_xticklabels(tick)
-    ax.set_yticks(range(n + 1)), ax.set_yticklabels(tick)
-    ax.set_xlabel("Predicted"), ax.set_ylabel("Actual")
+    ax.set_xticks(range(n + 1)), ax.set_xticklabels(tick, rotation=45)
+    ax.set_yticks(range(n + 1)), ax.set_yticklabels(tick, rotation=25)
+    ax.set_xlabel("Actual"), ax.set_ylabel("Predicted")
     os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
     fig.savefig(str(save_path) + ".jpg", bbox_inches="tight", dpi=100)
     plt.close(fig)

@@ -47,6 +47,36 @@ class TestTransforms:
         out = T.Resample(mode="fixed_spacing", factor=1.0)(s)
         assert out["#image"].shape == (24, 14, 16)
 
+    @pytest.mark.parametrize("reduce_max", [False, True])
+    def test_slab_projection_matches_reference_loop(self, rng, reduce_max):
+        """MIP/MinIP slab projections == the literal reference loop
+        (data_transforms.py:416-430): out[si] = min/max over the TRAILING
+        window [max(0, si-slab), si] along the drawn axis."""
+        from dram_tpu.data.transforms import _trailing_projection
+        data = rng.normal(size=(9, 7, 8)).astype(np.float32)
+        red = np.max if reduce_max else np.min
+        for slab in (1, 3, 6):
+            for axis in (0, 1, 2):
+                got = _trailing_projection(data, slab, axis - 3, reduce_max)
+                moved = np.moveaxis(data, axis, 0)
+                want = np.stack([red(moved[max(0, si - slab):si + 1], axis=0)
+                                 for si in range(moved.shape[0])])
+                want = np.moveaxis(want, 0, axis)
+                np.testing.assert_array_equal(got, want)
+
+    def test_slab_projection_transform_draws(self, rng):
+        np.random.seed(3)
+        s = _sample(rng)
+        out = T.MinimalIntensityProjection(slab_thickness=(3, 10))(s)
+        assert out["#image"].shape == s["#image"].shape
+        assert (out["#image"] <= s["#image"] + 1e-6).all()  # min projection
+        np.testing.assert_array_equal(out["#lobe_reference"],
+                                      s["#lobe_reference"])
+        out2 = T.MaximumIntensityProjection()(s)
+        assert (out2["#image"] >= s["#image"] - 1e-6).all()
+        out3 = T.MinimalIntensityAxialProjection()(s)
+        assert out3["#image"].shape == s["#image"].shape
+
     def test_flip_applies_to_all_tensor_keys(self, rng):
         np.random.seed(0)
         s = _sample(rng)

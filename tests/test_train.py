@@ -261,6 +261,32 @@ class TestEquivarianceTraining:
         assert np.isfinite(rec["tr_loss"]).all()
 
 
+class TestPerStepRescaleRedraw:
+    def test_rescale_drawn_per_step(self, env, tmp_path):
+        """The equivariance rescale is re-drawn every STEP (reference
+        metrics.py:224-231 per-call cadence); the trainer compiles one
+        jitted step per distinct drawn size and swaps between them."""
+        from dram_tpu.losses.equivariance import draw_rescale_static
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_rescale_step"
+        settings.NUM_EPOCHS = 1
+        settings.BALANCED_LABEL_COUNT = 1  # 6 chunks -> 3 steps at bs 2
+        settings.LOSS_FACTORS = [2.0, 1.0, 0.5]
+        settings.LOSS_FUNC = {"method": "metrics.IntRegAffRefineLoss",
+                              "band_width": 1e-2, "smoothing": 0.1,
+                              "rescale_jitter": [12, 16]}
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        runner.run()
+        # every step's expected draw is present in the jit cache
+        expected = {("rescale", draw_rescale_static(
+            33 + 104729 * k, [12, 16])) for k in range(runner.num_steps)}
+        assert expected <= set(runner._step_cache.keys())
+        # the drawn sizes genuinely vary across these step seeds
+        assert len(expected) >= 2
+
+
 class TestTrainTrace:
     def test_trace_dumps_heatmaps_during_training(self, env, tmp_path):
         """TRACE=True dumps attention heatmap tiles on the first step of

@@ -37,8 +37,8 @@ REF = dict(n_layers=3,
            stacking=3, dropout=0.0)
 
 ATT = dict(at_layers=(-1, 0, 1), at_spatial_size=(64, 64, 64),
-           at_f_maps=8, at_refine_maps=8,
-           merge_type="scaled_dot_product_relu", non_local_iter=1)
+           at_f_dim=8, at_g_dim=8,
+           at_merge_type="scaled_dot_product_relu", at_g_iter=1)
 
 
 def main():
@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--remat-all", action="store_true")
     ap.add_argument("--mask", default=None,
                     help="comma-separated checkpoint_layers override")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of 3 steps to this dir")
     args = ap.parse_args()
 
     cfg = dict(REF, use_pallas_conv=bool(args.pallas_conv))
@@ -116,6 +118,14 @@ def main():
         params, batch_stats, opt_state, key)
     jax.block_until_ready(loss)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for i in range(3):
+                params, batch_stats, opt_state, loss = step(
+                    params, batch_stats, opt_state, jax.random.PRNGKey(i))
+                jax.block_until_ready(loss)
+        print(f"profile written to {args.profile}")
 
     times = []
     for i in range(args.steps):
