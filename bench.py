@@ -33,6 +33,7 @@ def build_pipeline(chunk=(80, 80, 80), at=(64, 64, 64), dtype="bfloat16"):
     model = DC3DATGeneric(train=False, at_spatial_size=at,
                           use_pallas_attention=on_tpu,
                           use_pallas_conv=on_tpu,
+                          use_fused_stack=on_tpu,
                           dtype=jnp.bfloat16 if dtype == "bfloat16"
                           else jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),

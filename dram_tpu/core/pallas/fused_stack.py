@@ -1,0 +1,673 @@
+"""Fused Conv3d->BN->ReLU->Conv3d->BN->ReLU chain (the DC3D conv stack).
+
+The train-step profile (tools/parse_trace.py on tools/bench_train_step.py)
+shows ~290 ms/step of non-matmul overhead around the per-conv Pallas calls:
+NDHWC<->plane-minor layout copies, z/lane pads, bf16<->f32 converts, BN
+stat reductions and BN-apply/ReLU passes — each a full HBM round trip over
+multi-100MB activation tensors. This module removes the round trips
+between the two convolutions of every DC3D conv stack (reference
+parts.py:66-113 ConvBlock5d et al.):
+
+* activations stay in the kernel's (B, D, C, M=lane-padded H*W) layout
+  from stack entry to stack exit — no per-conv transposes;
+* the z halo is handled inside the kernel (clamped DMA + row masking), so
+  inputs are never re-padded between convs;
+* BatchNorm batch statistics are accumulated in the conv kernel's
+  epilogue (per-channel sum / sum-of-squares over valid lanes) — the
+  stats never re-read the conv output from HBM;
+* the BN affine + ReLU of conv i is applied in conv i+1's PROLOGUE on the
+  VMEM slab rows as they stream in — the normalized activation tensor is
+  never materialized;
+* a custom VJP reuses the same kernels: dx via flipped weights, dW with
+  the same prologue recomputing the normalized input on the fly, and the
+  BN/ReLU backward folded into two layout-native XLA passes per norm.
+
+Numerics match the unfused path up to bf16 rounding: stats are f32
+sums (flax BatchNorm's E[x^2]-E[x]^2 formula), the affine runs in f32 on
+the slab rows.
+
+Used by models/blocks.py (ConvStack) when `use_pallas_conv` and the stack
+is the bn/relu configuration the flagship configs ship.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv3d import _plane_pad, _plane_valid, _roll_lanes, supported
+
+
+def _lane_valid(HW, M):
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    return (i < HW).astype(jnp.float32)
+
+
+def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
+                acc, patch, slab, sem, *, H, W, M, Ci, Co, BD, D,
+                prologue, stats):
+    """Conv with optional affine+relu prologue and stats epilogue.
+
+    x_hbm: (B, D, Ci, M) — NOT z-padded; the halo is DMA'd clamped and
+    out-of-volume rows are masked during patch build.
+    w_ref: (9, Co, 3*Ci); s_ref/b_ref: (1, Ci) f32 prologue affine.
+    stats_ref: (2, Co) f32 accumulators (sum, sumsq) over valid lanes
+    (only present when stats=True; the kernel signature drops it
+    otherwise via the pallas_call output list).
+    """
+    b, z = pl.program_id(0), pl.program_id(1)
+    nz = pl.num_programs(1)
+    z0 = z * BD
+
+    first = z == 0
+    last = z == nz - 1
+
+    # every slice below must fit the (B, D, C, M) operand STATICALLY, so
+    # branches are emitted only when their block count makes them reachable
+    if D >= BD + 2:  # an interior block exists (or the slice at least fits)
+        @pl.when(jnp.logical_and(jnp.logical_not(first),
+                                 jnp.logical_not(last)))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 2)],
+                                       slab, sem)
+            cp.start()
+            cp.wait()
+
+    if D > BD:  # branches only reachable with >1 z block
+        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD + 1)],
+                                       slab.at[pl.ds(1, BD + 1)], sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 1)],
+                                       slab.at[pl.ds(0, BD + 1)], sem)
+            cp.start()
+            cp.wait()
+    else:
+        @pl.when(jnp.logical_and(first, last))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD)],
+                                       slab.at[pl.ds(1, BD)], sem)
+            cp.start()
+            cp.wait()
+
+    w = w_ref[:]  # (9, Co, 3*Ci)
+    if prologue:
+        s = s_ref[0].astype(jnp.float32)  # (Ci,)
+        t = b_ref[0].astype(jnp.float32)
+
+    # patch rows: prologue affine+relu, z-validity mask (0 outside volume)
+    for r in range(BD + 2):
+        row = slab[r]
+        if prologue:
+            row = jnp.maximum(
+                row.astype(jnp.float32) * s[:, None] + t[:, None], 0.0
+            ).astype(slab.dtype)
+        zvalid = jnp.logical_and(z0 - 1 + r >= 0, z0 - 1 + r < D)
+        row = jnp.where(zvalid, row, jnp.zeros_like(row))
+        for k, dx in enumerate((-1, 0, 1)):
+            patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
+                _plane_valid(H, W, M, 0, dx, row.dtype)
+
+    if stats:
+        @pl.when(jnp.logical_and(b == 0, z == 0))
+        def _():
+            stats_ref[:] = jnp.zeros_like(stats_ref)
+        lane_v = _lane_valid(H * W, M)
+
+    for r in range(BD):
+        acc[:] = jnp.zeros_like(acc)
+        for dyi, dy in enumerate((-1, 0, 1)):
+            v = jnp.zeros((Co, M), jnp.float32)
+            for dzi in range(3):
+                v += jax.lax.dot_general(
+                    w[dzi * 3 + dyi], patch[r + dzi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc[:] += _roll_lanes(v, dy * W) * \
+                _plane_valid(H, W, M, dy, 0, jnp.float32)
+        o = acc[:]
+        out_ref[r] = o.astype(out_ref.dtype)
+        if stats:
+            ov = o * lane_v
+            stats_ref[0] += jnp.sum(ov, axis=1)
+            stats_ref[1] += jnp.sum(ov * o, axis=1)
+
+
+def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb, slab,
+                   sems, semd, *, H, W, M, Ci, Co, BD, D, prologue):
+    """dW with the x side streamed through the same optional prologue
+    (recomputes the normalized activation instead of materializing it);
+    x_hbm is NOT z-padded (same clamped-halo DMA as _cbr_kernel)."""
+    b, z = pl.program_id(0), pl.program_id(1)
+    nz = pl.num_programs(1)
+    z0 = z * BD
+
+    first = z == 0
+    last = z == nz - 1
+
+    cp2 = pltpu.make_async_copy(dy_hbm.at[b, pl.ds(z0, BD)], dyb, semd)
+    cp2.start()
+
+    if D >= BD + 2:
+        @pl.when(jnp.logical_and(jnp.logical_not(first),
+                                 jnp.logical_not(last)))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 2)],
+                                       slab, sems)
+            cp.start()
+            cp.wait()
+
+    if D > BD:
+        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD + 1)],
+                                       slab.at[pl.ds(1, BD + 1)], sems)
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 1)],
+                                       slab.at[pl.ds(0, BD + 1)], sems)
+            cp.start()
+            cp.wait()
+    else:
+        @pl.when(jnp.logical_and(first, last))
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD)],
+                                       slab.at[pl.ds(1, BD)], sems)
+            cp.start()
+            cp.wait()
+
+    cp2.wait()
+
+    @pl.when(jnp.logical_and(b == 0, z == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    if prologue:
+        s = s_ref[0].astype(jnp.float32)
+        t = b_ref[0].astype(jnp.float32)
+
+    for r in range(BD + 2):
+        row = slab[r]
+        if prologue:
+            row = jnp.maximum(
+                row.astype(jnp.float32) * s[:, None] + t[:, None], 0.0
+            ).astype(slab.dtype)
+        zvalid = jnp.logical_and(z0 - 1 + r >= 0, z0 - 1 + r < D)
+        row = jnp.where(zvalid, row, jnp.zeros_like(row))
+        for k, dx in enumerate((-1, 0, 1)):
+            patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
+                _plane_valid(H, W, M, 0, dx, row.dtype)
+
+    # pad lanes must not leak into the dy_=-1 shifts: unlike the old
+    # z-padded wire, dout's pad lanes are NOT guaranteed zero here (the
+    # BN backward writes garbage there), and _plane_valid's iy>=H trick
+    # admits the first pad row for dy=-1
+    lane_v = _lane_valid(H * W, M).astype(dyb.dtype)
+    for r in range(BD):
+        for dyi, dy_ in enumerate((-1, 0, 1)):
+            dyr = _roll_lanes(
+                dyb[r] * lane_v * _plane_valid(H, W, M, dy_, 0, dyb.dtype),
+                -dy_ * W)
+            for dzi in range(3):
+                dw_ref[dzi, dyi] += jax.lax.dot_general(
+                    patch[r + dzi], dyr, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+
+
+def to_cm(x):
+    """NDHWC -> (B, D, C, M) lane-padded kernel layout (no z pad)."""
+    B, D, H, W, C = x.shape
+    M = _plane_pad(H * W)
+    x = jnp.transpose(x.reshape(B, D, H * W, C), (0, 1, 3, 2))
+    if M > H * W:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, M - H * W)])
+    return x
+
+
+def from_cm(x, H, W):
+    """(B, D, C, M) -> NDHWC (dropping lane pad)."""
+    B, D, C, M = x.shape
+    return jnp.transpose(x[..., :H * W], (0, 1, 3, 2)).reshape(B, D, H, W, C)
+
+
+def _wk(w, dtype):
+    """(3,3,3,Ci,Co) -> (9, Co, 3*Ci) kernel weight layout."""
+    Ci, Co = w.shape[3], w.shape[4]
+    return jnp.transpose(w.astype(dtype), (0, 1, 4, 2, 3)).reshape(
+        9, Co, 3 * Ci)
+
+
+def _flip_wk(w, dtype):
+    """Transposed-conv weights in kernel layout: flip spatial, swap io."""
+    wf = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    return _wk(wf, dtype)
+
+
+def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
+    """One conv on kernel-layout input. Returns (out_cm, stats or None).
+
+    s, b: (Ci,) f32 prologue affine (pass zeros when prologue=False).
+    """
+    B, Ci, M = x_cm.shape[0], x_cm.shape[2], x_cm.shape[3]
+    Co = wk.shape[1]
+
+    # full VMEM budget: slab + patch rows, f32 accumulator, and the
+    # DOUBLE-buffered output window (dominant when Co is large, e.g. the
+    # dx conv of a 192-channel layer: 2*BD*192*M*4 B)
+    it = x_cm.dtype.itemsize
+    row_bytes = 4 * Ci * M * it          # slab (Ci) + patch (3*Ci)
+    out_bytes = Co * M * it              # output window, 2 buffer levels
+    acc_bytes = Co * M * 4
+    budget = 80 * 1024 * 1024
+    BD = 8
+    while BD > 1 and ((BD + 2) * row_bytes + 2 * BD * out_bytes
+                      + acc_bytes) > budget:
+        BD -= 1
+    while D % BD:
+        BD -= 1
+    kw = dict(H=H, W=W, M=M, Ci=Ci, Co=Co, BD=BD, D=D,
+              prologue=prologue, stats=stats)
+    if stats:
+        kernel = functools.partial(_cbr_kernel, **kw)
+    else:
+        def kernel(w_ref, s_ref, b_ref, x_hbm, out_ref,
+                   acc, patch, slab, sem):
+            _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, None,
+                        acc, patch, slab, sem, **kw)
+    out_shapes = [jax.ShapeDtypeStruct((B, D, Co, M), x_cm.dtype)]
+    out_specs = [pl.BlockSpec((None, BD, Co, M), lambda b_, z: (b_, z, 0, 0))]
+    if stats:
+        out_shapes.append(jax.ShapeDtypeStruct((2, Co), jnp.float32))
+        out_specs.append(pl.BlockSpec((2, Co), lambda b_, z: (0, 0)))
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, D // BD),
+        in_specs=[
+            pl.BlockSpec((9, Co, 3 * Ci), lambda b_, z: (0, 0, 0)),
+            pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
+            pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((Co, M), jnp.float32),
+            pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
+            pltpu.VMEM((BD + 2, Ci, M), x_cm.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wk, s.reshape(1, -1), b.reshape(1, -1), x_cm)
+    if stats:
+        return res[0], res[1]
+    return res[0], None
+
+
+def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
+    """dW from kernel-layout x (through the optional prologue) and dy."""
+    B, _, Ci, M = x_cm.shape
+    Co = dy_cm.shape[2]
+    per_row = (4 * Ci + Co) * M * x_cm.dtype.itemsize
+    dw_bytes = 9 * 3 * Ci * Co * 4
+    BD = int(max(1, min(8, (44 * 1024 * 1024 - dw_bytes) // per_row - 2)))
+    while D % BD:
+        BD -= 1
+    kernel = functools.partial(_dw_kernel_pro, H=H, W=W, M=M, Ci=Ci, Co=Co,
+                               BD=BD, D=D, prologue=prologue)
+    dw = pl.pallas_call(
+        kernel,
+        grid=(B, D // BD),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
+            pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, 3, 3 * Ci, Co),
+                               lambda b_, z: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * Ci, Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
+            pltpu.VMEM((BD, Co, M), dy_cm.dtype),
+            pltpu.VMEM((BD + 2, Ci, M), x_cm.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_cm, dy_cm, s.reshape(1, -1), b.reshape(1, -1))
+    Ci_ = x_cm.shape[2]
+    return dw.reshape(3, 3, 3, Ci_, Co)
+
+
+# ---------------------------------------------------------------------------
+# the fused 2-conv stack with custom VJP
+
+
+def _affine_from_stats(gamma, beta, mean, var, eps):
+    """Per-channel (scale, offset) folding BN into one affine."""
+    inv = jax.lax.rsqrt(var + eps)
+    s = gamma * inv
+    return s, beta - mean * s
+
+
+def _bn_stats(st, count):
+    mean = st[0] / count
+    var = st[1] / count - mean * mean
+    return mean, jnp.maximum(var, 0.0)
+
+
+def _lane_mask_cm(shape, HW):
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return i < HW
+
+
+def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
+               train=True, eps=1e-5, momentum=0.9, interpret=False):
+    """conv->bn->relu->conv->bn->relu as a fused chain.
+
+    x: NDHWC; w*: (3,3,3,Ci,Co) f32; g/b: BN scale/bias; m/v: running
+    stats. Returns (y NDHWC, (new_m0, new_v0, new_m1, new_v1)).
+    Differentiable in x, w*, g*, b* via a custom VJP.
+    """
+    y, stats = _fused_cbr2_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                               train, eps, interpret)
+    if train:
+        bm0, bv0, bm1, bv1 = stats
+        new = tuple(momentum * r + (1 - momentum) * s
+                    for r, s in ((m0, bm0), (v0, bv0), (m1, bm1), (v1, bv1)))
+    else:
+        new = (m0, v0, m1, v1)
+    return y, new
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _fused_cbr2_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                    train, eps, interpret):
+    y, stats, _ = _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                             train, eps, interpret)
+    return y, stats
+
+
+def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+               train, eps, interpret):
+    B, D, H, W, Ci = x.shape
+    dt = x.dtype
+    zero0 = jnp.zeros((Ci,), jnp.float32)
+    x_cm = to_cm(x)
+    out0, st0 = conv_cm(x_cm, _wk(w0, dt), zero0, zero0, H, W, D,
+                        prologue=False, stats=train, interpret=interpret)
+    n = B * D * H * W
+    if train:
+        bm0, bv0 = _bn_stats(st0, float(n))
+    else:
+        bm0, bv0 = m0, v0
+    s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
+
+    out1, st1 = conv_cm(out0, _wk(w1, dt), s0, t0, H, W, D,
+                        prologue=True, stats=train, interpret=interpret)
+    if train:
+        bm1, bv1 = _bn_stats(st1, float(n))
+    else:
+        bm1, bv1 = m1, v1
+    s1, t1 = _affine_from_stats(g1, b1, bm1, bv1, eps)
+
+    # exit: affine+relu+un-layout in one fused XLA pass
+    y_cm = jnp.maximum(
+        out1.astype(jnp.float32) * s1[None, None, :, None]
+        + t1[None, None, :, None], 0.0).astype(dt)
+    y = from_cm(y_cm, H, W)
+    stats = (bm0, bv0, bm1, bv1) if train \
+        else (jnp.zeros_like(m0), jnp.zeros_like(v0),
+              jnp.zeros_like(m1), jnp.zeros_like(v1))
+    res = (x_cm, w0, g0, b0, w1, g1, b1, out0, out1,
+           (bm0, bv0, bm1, bv1))
+    return y, stats, res
+
+
+def _vjp_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+             train, eps, interpret):
+    y, stats, res = _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                               train, eps, interpret)
+    return (y, stats), res
+
+
+def _vjp_bwd(train, eps, interpret, res, cot):
+    dy, _dstats = cot
+    (x_cm, w0, g0, b0, w1, g1, b1, out0, out1, stats) = res
+    bm0, bv0, bm1, bv1 = stats
+    B, D, H, W = dy.shape[0], dy.shape[1], dy.shape[2], dy.shape[3]
+    HW = H * W
+    n = float(B * D * HW)
+    dt = x_cm.dtype
+
+    def bn_back(d_post, out, gamma, beta, mean, var):
+        """relu+BN backward at kernel layout; returns (d_out, dg, db)."""
+        inv = jax.lax.rsqrt(var + eps)
+        s = (gamma * inv)[None, None, :, None]
+        t = (beta - mean * gamma * inv)[None, None, :, None]
+        of = out.astype(jnp.float32)
+        lane = _lane_mask_cm(out.shape, HW)
+        post = of * s + t
+        dp = jnp.where((post > 0) & lane, d_post.astype(jnp.float32), 0.0)
+        xhat = (of - mean[None, None, :, None]) * inv[None, None, :, None]
+        dbeta = jnp.sum(dp, axis=(0, 1, 3))
+        dgamma = jnp.sum(dp * xhat, axis=(0, 1, 3))
+        if train:
+            dxhat = dp * gamma[None, None, :, None]
+            mean_dxhat = (dbeta * gamma) / n
+            mean_dxhat_xhat = (dgamma * gamma) / n
+            d_out = inv[None, None, :, None] * (
+                dxhat - mean_dxhat[None, None, :, None]
+                - xhat * mean_dxhat_xhat[None, None, :, None])
+        else:
+            d_out = dp * s
+        return d_out.astype(dt), dgamma, dbeta
+
+    dy_cm = to_cm(dy)
+    dout1, dg1, db1 = bn_back(dy_cm, out1, g1, b1, bm1, bv1)
+
+    s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
+    # conv1 backward (prologue affines sized to each conv's INPUT channels)
+    z1 = jnp.zeros((dout1.shape[2],), jnp.float32)
+    da, _ = conv_cm(dout1, _flip_wk(w1, dt), z1, z1, H, W, D,
+                    prologue=False, stats=False, interpret=interpret)
+    dw1 = conv_dw_cm(out0, dout1, s0, t0, H, W, D, prologue=True,
+                     interpret=interpret).astype(w1.dtype)
+
+    dout0, dg0, db0 = bn_back(da, out0, g0, b0, bm0, bv0)
+
+    z0v = jnp.zeros((dout0.shape[2],), jnp.float32)
+    dx_cm, _ = conv_cm(dout0, _flip_wk(w0, dt), z0v, z0v, H, W, D,
+                       prologue=False, stats=False, interpret=interpret)
+    zx = jnp.zeros((x_cm.shape[2],), jnp.float32)
+    dw0 = conv_dw_cm(x_cm, dout0, zx, zx, H, W, D, prologue=False,
+                     interpret=interpret)
+    dw0 = dw0.astype(w0.dtype)
+
+    dx = from_cm(dx_cm, H, W).astype(dt)
+    zf = jnp.zeros_like
+    return (dx, dw0.astype(w0.dtype), dg0.astype(g0.dtype),
+            db0.astype(b0.dtype), dw1, dg1.astype(g1.dtype),
+            db1.astype(b1.dtype), zf(bm0), zf(bv0), zf(bm1), zf(bv1))
+
+
+_fused_cbr2_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_stack_supported(x_shape, features, kernel_sizes, paddings,
+                          strides, norm_method, act_method, dropout):
+    """The fused chain covers exactly the DC3D stack configuration."""
+    if len(features) != 2 or norm_method != "bn" or act_method != "relu" \
+            or dropout > 0:
+        return False
+    for k, p, s in zip(kernel_sizes, paddings, strides):
+        if not supported(x_shape, (k, k, k), (s, s, s),
+                         ((p, p), (p, p), (p, p))):
+            return False
+    return True
+
+
+def fused_stack_first_xla_supported(x_shape, features, kernel_sizes,
+                                    paddings, strides, norm_method,
+                                    act_method, dropout):
+    """Partial fusion for the stack whose FIRST conv the kernel can't run
+    (ds0's Ci=1): conv_0 via XLA, everything after fused. The plane/shape
+    constraints must still hold for conv_1 (same H, W)."""
+    if len(features) != 2 or norm_method != "bn" or act_method != "relu" \
+            or dropout > 0:
+        return False
+    shape1 = tuple(x_shape[:-1]) + (features[0],)
+    return supported(shape1, (kernel_sizes[1],) * 3, (strides[1],) * 3,
+                     ((paddings[1],) * 2,) * 3)
+
+
+def fused_cbr2_first_xla(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
+                         train=True, eps=1e-5, momentum=0.9,
+                         interpret=False):
+    """Like fused_cbr2 but conv_0 runs as an XLA convolution (used when
+    the first conv's channel count is below the kernel's floor, e.g. the
+    DC3D input stack's Ci=1). Everything downstream of conv_0 — stats,
+    BN0 affine+relu (in conv_1's prologue), conv_1, BN1+relu — is fused.
+    """
+    y, stats = _fused_first_xla_vjp(x, w0, g0, b0, w1, g1, b1,
+                                    m0, v0, m1, v1, train, eps, interpret)
+    if train:
+        bm0, bv0, bm1, bv1 = stats
+        new = tuple(momentum * r + (1 - momentum) * s
+                    for r, s in ((m0, bm0), (v0, bv0), (m1, bm1), (v1, bv1)))
+    else:
+        new = (m0, v0, m1, v1)
+    return y, new
+
+
+def _xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _fused_first_xla_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                         train, eps, interpret):
+    y, stats, _ = _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1,
+                                       m0, v0, m1, v1, train, eps,
+                                       interpret)
+    return y, stats
+
+
+def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                         train, eps, interpret):
+    B, D, H, W, _ = x.shape
+    dt = x.dtype
+    h0 = _xla_conv(x, w0)
+    h0_cm = to_cm(h0)
+    n = float(B * D * H * W)
+    if train:
+        h0f = h0.astype(jnp.float32)
+        bm0 = jnp.mean(h0f, axis=(0, 1, 2, 3))
+        bv0 = jnp.maximum(jnp.mean(h0f * h0f, axis=(0, 1, 2, 3))
+                          - bm0 * bm0, 0.0)
+    else:
+        bm0, bv0 = m0, v0
+    s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
+
+    out1, st1 = conv_cm(h0_cm, _wk(w1, dt), s0, t0, H, W, D,
+                        prologue=True, stats=train, interpret=interpret)
+    if train:
+        bm1, bv1 = _bn_stats(st1, n)
+    else:
+        bm1, bv1 = m1, v1
+    s1, t1 = _affine_from_stats(g1, b1, bm1, bv1, eps)
+    y_cm = jnp.maximum(
+        out1.astype(jnp.float32) * s1[None, None, :, None]
+        + t1[None, None, :, None], 0.0).astype(dt)
+    y = from_cm(y_cm, H, W)
+    stats = (bm0, bv0, bm1, bv1) if train \
+        else (jnp.zeros_like(m0), jnp.zeros_like(v0),
+              jnp.zeros_like(m1), jnp.zeros_like(v1))
+    res = (x, w0, g0, b0, w1, g1, b1, h0_cm, out1, (bm0, bv0, bm1, bv1))
+    return y, stats, res
+
+
+def _first_xla_vjp_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                       train, eps, interpret):
+    y, stats, res = _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1,
+                                         m0, v0, m1, v1, train, eps,
+                                         interpret)
+    return (y, stats), res
+
+
+def _first_xla_vjp_bwd(train, eps, interpret, res, cot):
+    dy, _ = cot
+    (x, w0, g0, b0, w1, g1, b1, h0_cm, out1, stats) = res
+    bm0, bv0, bm1, bv1 = stats
+    B, D, H, W = dy.shape[0], dy.shape[1], dy.shape[2], dy.shape[3]
+    HW = H * W
+    n = float(B * D * HW)
+    dt = x.dtype
+
+    def bn_back(d_post, out, gamma, beta, mean, var):
+        inv = jax.lax.rsqrt(var + eps)
+        s = (gamma * inv)[None, None, :, None]
+        t = (beta - mean * gamma * inv)[None, None, :, None]
+        of = out.astype(jnp.float32)
+        lane = _lane_mask_cm(out.shape, HW)
+        post = of * s + t
+        dp = jnp.where((post > 0) & lane, d_post.astype(jnp.float32), 0.0)
+        xhat = (of - mean[None, None, :, None]) * inv[None, None, :, None]
+        dbeta = jnp.sum(dp, axis=(0, 1, 3))
+        dgamma = jnp.sum(dp * xhat, axis=(0, 1, 3))
+        if train:
+            dxhat = dp * gamma[None, None, :, None]
+            mean_dxhat = (dbeta * gamma) / n
+            mean_dxhat_xhat = (dgamma * gamma) / n
+            d_out = inv[None, None, :, None] * (
+                dxhat - mean_dxhat[None, None, :, None]
+                - xhat * mean_dxhat_xhat[None, None, :, None])
+        else:
+            d_out = dp * s
+        return d_out.astype(dt), dgamma, dbeta
+
+    dy_cm = to_cm(dy)
+    dout1, dg1, db1 = bn_back(dy_cm, out1, g1, b1, bm1, bv1)
+
+    s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
+    z1 = jnp.zeros((dout1.shape[2],), jnp.float32)
+    da, _ = conv_cm(dout1, _flip_wk(w1, dt), z1, z1, H, W, D,
+                    prologue=False, stats=False, interpret=interpret)
+    dw1 = conv_dw_cm(h0_cm, dout1, s0, t0, H, W, D, prologue=True,
+                     interpret=interpret).astype(w1.dtype)
+
+    dh0_cm, dg0, db0 = bn_back(da, h0_cm, g0, b0, bm0, bv0)
+    dh0 = from_cm(dh0_cm, H, W)
+    _, pullback = jax.vjp(lambda xx, ww: _xla_conv(xx, ww), x, w0)
+    dx, dw0 = pullback(dh0.astype(x.dtype))
+
+    zf = jnp.zeros_like
+    return (dx, dw0.astype(w0.dtype), dg0.astype(g0.dtype),
+            db0.astype(b0.dtype), dw1, dg1.astype(g1.dtype),
+            db1.astype(b1.dtype), zf(bm0), zf(bv0), zf(bm1), zf(bv1))
+
+
+_fused_first_xla_vjp.defvjp(_first_xla_vjp_fwd, _first_xla_vjp_bwd)

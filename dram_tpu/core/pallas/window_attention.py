@@ -302,6 +302,8 @@ def _fwd_impl(theta, phi, g_cam, offsets, block_d, interpret):
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(theta2, phi2, g2)
     return _unlayout(out, B, D, H, W, G)
@@ -348,6 +350,8 @@ def _vjp_bwd(offsets, block_d, interpret, res, ybar):
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(theta2, ybar2, phi2p, g2p)
 
@@ -385,6 +389,8 @@ def _vjp_bwd(offsets, block_d, interpret, res, ybar):
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(theta2p, phi2p, g2p, ybar2p, scalp)
 

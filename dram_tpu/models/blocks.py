@@ -117,8 +117,49 @@ class PallasConv3d(nn.Module):
         return y
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-only scope matching nn.Conv's tree ({name}/kernel) for the
+    fused-stack path — checkpoints swap freely with the unfused modules."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal_conv, tuple(self.shape),
+                          jnp.float32)
+
+
+class _BNState(nn.Module):
+    """Parameter/variable scope matching nn.BatchNorm's tree
+    ({name}/{scale,bias} + batch_stats {name}/{mean,var})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
 class ConvStack(nn.Module):
-    """N x (Conv3d -> norm -> act [-> dropout]) shared by all blocks."""
+    """N x (Conv3d -> norm -> act [-> dropout]) shared by all blocks.
+
+    With `use_fused_stack` (TPU), the 2-conv bn/relu configuration runs as
+    ONE fused Pallas chain (core/pallas/fused_stack.py): activations stay
+    in the kernel layout, BN stats accumulate in the conv epilogue and the
+    BN affine+ReLU applies in the next conv's prologue — no HBM round
+    trips between the convolutions. Parameter tree and checkpoints are
+    identical to the unfused path. NOTE: the fused BatchNorm reduces over
+    the locally-visible batch, so it is enabled for single-chip execution
+    (under data-parallel sharding the unfused path keeps global stats).
+    """
 
     features: Sequence[int]
     kernel_sizes: Sequence[int]
@@ -132,10 +173,39 @@ class ConvStack(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     use_pallas_conv: bool = False
+    use_fused_stack: bool = False
+    fused_interpret: bool = False
+
+    def _fused(self, x, chain_fn):
+        ci = x.shape[-1]
+        f0, f1 = self.features
+        w0 = _ConvKernel((3, 3, 3, ci, f0), name="conv_0")()
+        g0, b0, m0, v0 = _BNState(f0, name="BatchNorm_0")()
+        w1 = _ConvKernel((3, 3, 3, f0, f1), name="conv_1")()
+        g1, b1, m1, v1 = _BNState(f1, name="BatchNorm_1")()
+        y, (nm0, nv0, nm1, nv1) = chain_fn(
+            x.astype(self.dtype), w0, g0, b0, m0.value, v0.value,
+            w1, g1, b1, m1.value, v1.value,
+            train=self.train, interpret=self.fused_interpret)
+        if self.train and not self.is_initializing():
+            m0.value, v0.value = nm0, nv0
+            m1.value, v1.value = nm1, nv1
+        return y
 
     @nn.compact
     def __call__(self, x):
         from ..core.pallas.conv3d import supported as pallas_conv_ok
+        from ..core.pallas.fused_stack import (
+            fused_cbr2, fused_cbr2_first_xla, fused_stack_supported,
+            fused_stack_first_xla_supported)
+        if self.use_fused_stack:
+            args = (x.shape, self.features, self.kernel_sizes,
+                    self.paddings, self.strides, self.norm_method,
+                    self.act_method, self.dropout)
+            if fused_stack_supported(*args):
+                return self._fused(x, fused_cbr2)
+            if fused_stack_first_xla_supported(*args):
+                return self._fused(x, fused_cbr2_first_xla)
         norm_factory = make_norm(self.norm_method, self.dtype, self.axis_name)
         act = make_act(self.act_method)
         for i, feat in enumerate(self.features):
@@ -182,6 +252,8 @@ class ConvBlock5d(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     use_pallas_conv: bool = False
+    use_fused_stack: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -193,6 +265,7 @@ class ConvBlock5d(nn.Module):
                          self.use_bias, self.norm_method, self.act_method,
                          self.dropout, self.train, self.dtype,
                          self.axis_name, self.use_pallas_conv,
+                         self.use_fused_stack, self.fused_interpret,
                          name="convs")(x)
 
 
@@ -212,6 +285,8 @@ class ConvPoolBlock5d(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     use_pallas_conv: bool = False
+    use_fused_stack: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -223,6 +298,7 @@ class ConvPoolBlock5d(nn.Module):
                       self.use_bias, self.norm_method, self.act_method,
                       self.dropout, self.train, self.dtype,
                       self.axis_name, self.use_pallas_conv,
+                      self.use_fused_stack, self.fused_interpret,
                       name="convs")(x)
         pooled = nn.max_pool(y, window_shape=(self.pool_size,) * 3,
                              strides=(self.pool_strides,) * 3)
@@ -250,6 +326,8 @@ class UpsampleConvBlock5d(nn.Module):
     axis_name: str | None = None
     local_upsample: bool = False
     use_pallas_conv: bool = False
+    use_fused_stack: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
@@ -271,4 +349,5 @@ class UpsampleConvBlock5d(nn.Module):
                          self.use_bias, self.norm_method, self.act_method,
                          self.dropout, self.train, self.dtype,
                          self.axis_name, self.use_pallas_conv,
+                         self.use_fused_stack, self.fused_interpret,
                          name="convs")(x)

@@ -56,6 +56,8 @@ class DC3DATGeneric(nn.Module):
     axis_name: Optional[str] = None
     use_pallas_attention: bool = False
     use_pallas_conv: bool = False
+    use_fused_stack: bool = False
+    fused_interpret: bool = False
 
     def setup(self):
         self.backbone = DC3D(
@@ -66,6 +68,8 @@ class DC3DATGeneric(nn.Module):
             upsample_ksize=self.upsample_ksize, upsample_sf=self.upsample_sf,
             kernel_sizes=self.kernel_sizes, stacking=self.stacking,
             use_pallas_conv=self.use_pallas_conv,
+            use_fused_stack=self.use_fused_stack,
+            fused_interpret=self.fused_interpret,
             norm_method=self.norm_method, act_method=self.act_method,
             pooling_method=self.pooling_method, out_cls_ch=self.out_cls_ch,
             train=self.train, dtype=self.dtype, axis_name=self.axis_name)

@@ -57,6 +57,9 @@ class DC3D(nn.Module):
     local_upsample: bool = False
     # fused Pallas conv3d on supported shapes (TPU; same param tree)
     use_pallas_conv: bool = False
+    # fully fused conv->bn->relu->conv chain (TPU single-chip; same tree)
+    use_fused_stack: bool = False
+    fused_interpret: bool = False
 
     def setup(self):
         ks = (list(self.kernel_sizes) if self.kernel_sizes is not None
@@ -66,7 +69,9 @@ class DC3D(nn.Module):
                       act_method=self.act_method, dropout=self.dropout,
                       train=self.train, dtype=self.dtype,
                       axis_name=self.axis_name,
-                      use_pallas_conv=self.use_pallas_conv)
+                      use_pallas_conv=self.use_pallas_conv,
+                      use_fused_stack=self.use_fused_stack,
+                      fused_interpret=self.fused_interpret)
 
         self.ds_modules = [
             _block_cls(ConvPoolBlock5d, self.checkpoint_layers[i] > 0)(

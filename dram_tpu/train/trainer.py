@@ -181,6 +181,17 @@ class JobRunner:
             model_cfg["use_pallas_conv"] = bool(
                 getattr(s, "USE_PALLAS_CONV",
                         jax.default_backend() == "tpu"))
+        if "use_fused_stack" in getattr(model_cls,
+                                        "__dataclass_fields__", {}):
+            # fully fused conv->bn->relu chain (core/pallas/fused_stack.py):
+            # no HBM round trips between a stack's two convs. Single-chip
+            # only by default — its BatchNorm reduces over the local batch,
+            # while the unfused path keeps global stats under DP sharding.
+            # USE_FUSED_STACK overrides.
+            model_cfg["use_fused_stack"] = bool(
+                getattr(s, "USE_FUSED_STACK",
+                        jax.default_backend() == "tpu"
+                        and jax.device_count() == 1))
         self.model = model_cls(**model_cfg, train=True,
                                dtype=self.compute_dtype)
         self.model_eval = model_cls(**model_cfg, train=False,

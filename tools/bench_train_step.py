@@ -45,6 +45,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="dc3d", choices=["dc3d", "att"])
     ap.add_argument("--pallas-conv", type=int, default=0)
+    ap.add_argument("--fused-stack", type=int, default=0)
     ap.add_argument("--pallas-att", type=int, default=1)
     ap.add_argument("--batch", type=int, default=10)
     ap.add_argument("--steps", type=int, default=20)
@@ -55,7 +56,8 @@ def main():
                     help="write a jax.profiler trace of 3 steps to this dir")
     args = ap.parse_args()
 
-    cfg = dict(REF, use_pallas_conv=bool(args.pallas_conv))
+    cfg = dict(REF, use_pallas_conv=bool(args.pallas_conv),
+               use_fused_stack=bool(args.fused_stack))
     if args.remat_all:
         cfg["checkpoint_layers"] = (1,) * 7
     if args.mask:
