@@ -194,7 +194,14 @@ class JobRunner:
                         and jax.device_count() == 1))
         self.model = model_cls(**model_cfg, train=True,
                                dtype=self.compute_dtype)
-        self.model_eval = model_cls(**model_cfg, train=False,
+        eval_cfg = dict(model_cfg)
+        if "use_fused_stack" in eval_cfg:
+            # eval-mode BN reads running stats (no batch reduction), so
+            # the fused chain is safe on any device count for inference
+            eval_cfg["use_fused_stack"] = bool(
+                getattr(s, "USE_FUSED_STACK",
+                        jax.default_backend() == "tpu"))
+        self.model_eval = model_cls(**eval_cfg, train=False,
                                     dtype=self.compute_dtype)
 
         init_cfg = dict(getattr(s, "INITIALIZER", {"method": "models.HeNorm"}))
