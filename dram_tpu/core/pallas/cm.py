@@ -1,0 +1,168 @@
+"""Kernel-layout ("cm") activation residency between fused conv stacks.
+
+The fused Pallas conv chain (fused_stack.py) computes in a plane-minor
+(B, D, C, M = lane-padded H*W) layout. Round 2's train-step profile showed
+~65 ms/step of pure layout copies: every stack boundary paid an
+NDHWC -> cm transpose on entry and a cm -> NDHWC transpose on exit, only
+for the next block to transpose straight back (plus the same pairs around
+every cotangent in the backward pass). This module makes the cm layout the
+*resident* activation format between stacks: the boundary ops of the DC3D
+U-Net (2x max-pool, align-corners trilinear 2x upsample / resize, skip
+concatenation, 1x1x1 convolutions) run directly on the (B, D, C, M)
+layout, so a training step transposes only at the network entry and at the
+tiny top-layer exit.
+
+`CM` is a registered pytree carrying the true plane dims (H, W) statically
+(the lane pad makes them unrecoverable from the array shape alone), so it
+flows through flax modules, jax.checkpoint (remat) and custom VJPs.
+
+All ops here are plain XLA (differentiable by tracing); pad lanes of every
+produced array are zero, matching `to_cm`'s contract (the conv kernels mask
+pad lanes on read regardless — conv3d.py:_plane_valid).
+
+Reference parity note: these are layout-only rewrites of reference
+parts.py:116-155 (Upsample + crop-concat) and the nn.MaxPool3d of
+parts.py:157-196; numerics are covered by the fused-vs-unfused module
+tests (tests/test_fused_stack.py) and the cm-op unit tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..resample import _axis_weights
+from .conv3d import _plane_pad
+
+
+@jax.tree_util.register_pytree_node_class
+class CM:
+    """Lane-padded kernel-layout activation: data (B, D, C, M) plus the
+    plane's true (H, W) as static metadata (M = _plane_pad(H * W))."""
+
+    __slots__ = ("data", "H", "W")
+
+    def __init__(self, data, H, W):
+        self.data = data
+        self.H = int(H)
+        self.W = int(W)
+
+    def tree_flatten(self):
+        return (self.data,), (self.H, self.W)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def logical_shape(self):
+        """The NDHWC shape this activation represents."""
+        B, D, C, _ = self.data.shape
+        return (B, D, self.H, self.W, C)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def __repr__(self):
+        return f"CM(data={self.data.shape}, H={self.H}, W={self.W})"
+
+
+def to_cm(x):
+    """NDHWC -> (B, D, C, M) lane-padded kernel layout (no z pad)."""
+    B, D, H, W, C = x.shape
+    M = _plane_pad(H * W)
+    x = jnp.transpose(x.reshape(B, D, H * W, C), (0, 1, 3, 2))
+    if M > H * W:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, M - H * W)])
+    return x
+
+
+def from_cm(x, H, W):
+    """(B, D, C, M) -> NDHWC (dropping lane pad)."""
+    B, D, C, M = x.shape
+    return jnp.transpose(x[..., :H * W], (0, 1, 3, 2)).reshape(B, D, H, W, C)
+
+
+def to_cm_t(x):
+    """NDHWC array -> CM."""
+    return CM(to_cm(x), x.shape[2], x.shape[3])
+
+
+def as_ndhwc(x):
+    """CM -> NDHWC array; NDHWC arrays pass through."""
+    if isinstance(x, CM):
+        return from_cm(x.data, x.H, x.W)
+    return x
+
+
+def _repack(x5, dtype):
+    """(B, D, C, H, W) -> zero-lane-padded (B, D, C, M) CM data."""
+    B, D, C, H, W = x5.shape
+    M = _plane_pad(H * W)
+    x = x5.reshape(B, D, C, H * W)
+    if M > H * W:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, M - H * W)])
+    return x.astype(dtype)
+
+
+def _unpack(cm):
+    """CM -> (B, D, C, H, W) view (pad lanes dropped)."""
+    B, D, C, _ = cm.data.shape
+    return cm.data[..., :cm.H * cm.W].reshape(B, D, C, cm.H, cm.W)
+
+
+def maxpool2_cm(cm):
+    """2x2x2 max-pool, stride 2 (reference nn.MaxPool3d(2, 2)) on the cm
+    layout. Requires even D, H, W (the caller falls back to the NDHWC
+    path otherwise)."""
+    x = _unpack(cm)
+    B, D, C, H, W = x.shape
+    assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0, (D, H, W)
+    x = x.reshape(B, D // 2, 2, C, H // 2, 2, W // 2, 2)
+    x = x.max(axis=(2, 5, 7))
+    return CM(_repack(x, cm.dtype), H // 2, W // 2)
+
+
+def resize_cm(cm, out_dhw, align_corners=True):
+    """Separable trilinear resize on the cm layout (torch semantics,
+    matching core.resample.resize3d)."""
+    x = _unpack(cm).astype(jnp.float32)
+    mode = "linear_ac" if align_corners else "linear_hp"
+    oD, oH, oW = (int(v) for v in out_dhw)
+    if x.shape[1] != oD:
+        Wm, _ = _axis_weights(x.shape[1], oD, mode, None)
+        x = jnp.einsum("oi,bichw->bochw", jnp.asarray(Wm), x)
+    if x.shape[3] != oH:
+        Wm, _ = _axis_weights(x.shape[3], oH, mode, None)
+        x = jnp.einsum("oh,bdchw->bdcow", jnp.asarray(Wm), x)
+    if x.shape[4] != oW:
+        Wm, _ = _axis_weights(x.shape[4], oW, mode, None)
+        x = jnp.einsum("ow,bdchw->bdcho", jnp.asarray(Wm), x)
+    return CM(_repack(x, cm.dtype), oH, oW)
+
+
+def upsample2x_cm(cm):
+    """Align-corners trilinear 2x upsample (reference nn.Upsample
+    scale_factor=2, align_corners=True) on the cm layout."""
+    B, D, C, _ = cm.data.shape
+    return resize_cm(cm, (2 * D, 2 * cm.H, 2 * cm.W), align_corners=True)
+
+
+def concat_cm(cms):
+    """Channel concatenation of same-plane CM activations."""
+    H, W = cms[0].H, cms[0].W
+    for c in cms[1:]:
+        assert (c.H, c.W) == (H, W), "concat_cm requires equal planes"
+    return CM(jnp.concatenate([c.data for c in cms], axis=2), H, W)
+
+
+def conv1x1_cm(cm, kernel, bias, dtype):
+    """1x1x1 convolution on the cm layout (nn.Conv numerics: input and
+    kernel promoted to `dtype`, f32 params). kernel: (1, 1, 1, Ci, Co)."""
+    ci, co = kernel.shape[3], kernel.shape[4]
+    k = kernel.reshape(ci, co).astype(dtype)
+    y = jnp.einsum("bdim,io->bdom", cm.data.astype(dtype), k)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)[None, None, :, None]
+    return CM(y, cm.H, cm.W)

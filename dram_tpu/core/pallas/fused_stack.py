@@ -55,7 +55,11 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
 
     x_hbm: (B, D, Ci, M) — NOT z-padded; the halo is DMA'd clamped and
     out-of-volume rows are masked during patch build.
-    w_ref: (9, Co, 3*Ci); s_ref/b_ref: (1, Ci) f32 prologue affine.
+    w_ref: (3, 3*Co, 3*Ci) — dz-major, the dy=-1/0/+1 weight planes
+    STACKED on the output dim so each MXU dot writes 3*Co rows (Co=64
+    layers only fill half the 128-row MXU otherwise) and the dz loop
+    needs one dot instead of three.
+    s_ref/b_ref: (1, Ci) f32 prologue affine.
     stats_ref: (2, Co) f32 accumulators (sum, sumsq) over valid lanes
     (only present when stats=True; the kernel signature drops it
     otherwise via the pallas_call output list).
@@ -100,7 +104,7 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
             cp.start()
             cp.wait()
 
-    w = w_ref[:]  # (9, Co, 3*Ci)
+    w = w_ref[:]  # (3, 3*Co, 3*Ci)
     if prologue:
         s = s_ref[0].astype(jnp.float32)  # (Ci,)
         t = b_ref[0].astype(jnp.float32)
@@ -126,16 +130,18 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
 
     for r in range(BD):
         acc[:] = jnp.zeros_like(acc)
-        for dyi, dy in enumerate((-1, 0, 1)):
-            v = jnp.zeros((Co, M), jnp.float32)
-            for dzi in range(3):
-                v += jax.lax.dot_general(
-                    w[dzi * 3 + dyi], patch[r + dzi],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            acc[:] += _roll_lanes(v, dy * W) * \
+        for dzi in range(3):
+            acc[:] += jax.lax.dot_general(
+                w[dzi], patch[r + dzi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (3*Co, M)
+        v = acc[:]
+        # dy=0 keeps its in-plane mask so pad lanes stay zero (to_cm's
+        # contract); the dy=+-1 blocks roll then mask their targets
+        o = v[Co:2 * Co] * _plane_valid(H, W, M, 0, 0, jnp.float32)
+        for dyi, dy in ((0, -1), (2, 1)):
+            o += _roll_lanes(v[dyi * Co:(dyi + 1) * Co], dy * W) * \
                 _plane_valid(H, W, M, dy, 0, jnp.float32)
-        o = acc[:]
         out_ref[r] = o.astype(out_ref.dtype)
         if stats:
             ov = o * lane_v
@@ -217,41 +223,34 @@ def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb, slab,
     # admits the first pad row for dy=-1
     lane_v = _lane_valid(H * W, M).astype(dyb.dtype)
     for r in range(BD):
-        for dyi, dy_ in enumerate((-1, 0, 1)):
-            dyr = _roll_lanes(
+        # stack the 3 dy-shifted cotangent planes on the dot's output dim
+        # (one (3Ci, M)x(3Co, M) MXU dot per dz instead of three Co-wide
+        # ones); dw_ref rows follow the same (dz, dx*Ci, dy*Co) layout
+        dyr3 = jnp.concatenate([
+            _roll_lanes(
                 dyb[r] * lane_v * _plane_valid(H, W, M, dy_, 0, dyb.dtype),
                 -dy_ * W)
-            for dzi in range(3):
-                dw_ref[dzi, dyi] += jax.lax.dot_general(
-                    patch[r + dzi], dyr, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            for dy_ in (-1, 0, 1)], axis=0)  # (3*Co, M)
+        for dzi in range(3):
+            dw_ref[dzi] += jax.lax.dot_general(
+                patch[r + dzi], dyr3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
 # host-side wrappers
 
 
-def to_cm(x):
-    """NDHWC -> (B, D, C, M) lane-padded kernel layout (no z pad)."""
-    B, D, H, W, C = x.shape
-    M = _plane_pad(H * W)
-    x = jnp.transpose(x.reshape(B, D, H * W, C), (0, 1, 3, 2))
-    if M > H * W:
-        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, M - H * W)])
-    return x
-
-
-def from_cm(x, H, W):
-    """(B, D, C, M) -> NDHWC (dropping lane pad)."""
-    B, D, C, M = x.shape
-    return jnp.transpose(x[..., :H * W], (0, 1, 3, 2)).reshape(B, D, H, W, C)
+from .cm import CM, from_cm, to_cm  # noqa: E402  (canonical layout ops)
 
 
 def _wk(w, dtype):
-    """(3,3,3,Ci,Co) -> (9, Co, 3*Ci) kernel weight layout."""
+    """(3,3,3,Ci,Co) -> (3, 3*Co, 3*Ci) kernel weight layout: dz-major,
+    the three dy planes stacked on the output (MXU-row) dim, dx-major
+    columns."""
     Ci, Co = w.shape[3], w.shape[4]
     return jnp.transpose(w.astype(dtype), (0, 1, 4, 2, 3)).reshape(
-        9, Co, 3 * Ci)
+        3, 3 * Co, 3 * Ci)
 
 
 def _flip_wk(w, dtype):
@@ -266,7 +265,7 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
     s, b: (Ci,) f32 prologue affine (pass zeros when prologue=False).
     """
     B, Ci, M = x_cm.shape[0], x_cm.shape[2], x_cm.shape[3]
-    Co = wk.shape[1]
+    Co = wk.shape[1] // 3  # wk rows are the 3 dy-stacked output planes
 
     # full VMEM budget: slab + patch rows, f32 accumulator, and the
     # DOUBLE-buffered output window (dominant when Co is large, e.g. the
@@ -274,7 +273,7 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
     it = x_cm.dtype.itemsize
     row_bytes = 4 * Ci * M * it          # slab (Ci) + patch (3*Ci)
     out_bytes = Co * M * it              # output window, 2 buffer levels
-    acc_bytes = Co * M * 4
+    acc_bytes = 3 * Co * M * 4           # dy-stacked accumulator
     budget = 80 * 1024 * 1024
     BD = 8
     while BD > 1 and ((BD + 2) * row_bytes + 2 * BD * out_bytes
@@ -300,7 +299,7 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
         kernel,
         grid=(B, D // BD),
         in_specs=[
-            pl.BlockSpec((9, Co, 3 * Ci), lambda b_, z: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b_, z: (0, 0, 0)),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -308,7 +307,7 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((Co, M), jnp.float32),
+            pltpu.VMEM((3 * Co, M), jnp.float32),
             pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
             pltpu.VMEM((BD + 2, Ci, M), x_cm.dtype),
             pltpu.SemaphoreType.DMA,
@@ -342,9 +341,9 @@ def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((3, 3, 3 * Ci, Co),
-                               lambda b_, z: (0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * Ci, Co), jnp.float32),
+        out_specs=pl.BlockSpec((3, 3 * Ci, 3 * Co),
+                               lambda b_, z: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * Ci, 3 * Co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
             pltpu.VMEM((BD, Co, M), dy_cm.dtype),
@@ -357,7 +356,8 @@ def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
         interpret=interpret,
     )(x_cm, dy_cm, s.reshape(1, -1), b.reshape(1, -1))
     Ci_ = x_cm.shape[2]
-    return dw.reshape(3, 3, 3, Ci_, Co)
+    # (dz, dx*Ci, dy*Co) -> (dz, dy, dx, Ci, Co)
+    return dw.reshape(3, 3, Ci_, 3, Co).transpose(0, 3, 1, 2, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -383,15 +383,25 @@ def _lane_mask_cm(shape, HW):
 
 
 def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
-               train=True, eps=1e-5, momentum=0.9, interpret=False):
+               train=True, eps=1e-5, momentum=0.9, interpret=False,
+               cm_out=False):
     """conv->bn->relu->conv->bn->relu as a fused chain.
 
-    x: NDHWC; w*: (3,3,3,Ci,Co) f32; g/b: BN scale/bias; m/v: running
-    stats. Returns (y NDHWC, (new_m0, new_v0, new_m1, new_v1)).
-    Differentiable in x, w*, g*, b* via a custom VJP.
+    x: NDHWC array or a CM kernel-layout activation; w*: (3,3,3,Ci,Co)
+    f32; g/b: BN scale/bias; m/v: running stats. Returns
+    (y NDHWC — or CM when cm_out, (new_m0, new_v0, new_m1, new_v1)).
+    Differentiable in x, w*, g*, b* via a custom VJP; with CM in/out the
+    cotangents also stay in the kernel layout (no transposes in either
+    pass — see core/pallas/cm.py).
     """
-    y, stats = _fused_cbr2_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                               train, eps, interpret)
+    if isinstance(x, CM):
+        cm_in, hw, xa = True, (x.H, x.W), x.data
+    else:
+        cm_in, hw, xa = False, (x.shape[2], x.shape[3]), x
+    y, stats = _fused_cbr2_vjp(xa, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
+                               train, eps, interpret, cm_in, cm_out, hw)
+    if cm_out:
+        y = CM(y, hw[0], hw[1])
     if train:
         bm0, bv0, bm1, bv1 = stats
         new = tuple(momentum * r + (1 - momentum) * s
@@ -401,20 +411,26 @@ def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
     return y, new
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
 def _fused_cbr2_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                    train, eps, interpret):
+                    train, eps, interpret, cm_in, cm_out, hw):
     y, stats, _ = _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                             train, eps, interpret)
+                             train, eps, interpret, cm_in, cm_out, hw)
     return y, stats
 
 
 def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-               train, eps, interpret):
-    B, D, H, W, Ci = x.shape
+               train, eps, interpret, cm_in, cm_out, hw):
+    H, W = hw
+    if cm_in:
+        B, D = x.shape[0], x.shape[1]
+        Ci = x.shape[2]
+        x_cm = x
+    else:
+        B, D, _, _, Ci = x.shape
+        x_cm = to_cm(x)
     dt = x.dtype
     zero0 = jnp.zeros((Ci,), jnp.float32)
-    x_cm = to_cm(x)
     out0, st0 = conv_cm(x_cm, _wk(w0, dt), zero0, zero0, H, W, D,
                         prologue=False, stats=train, interpret=interpret)
     n = B * D * H * W
@@ -432,11 +448,11 @@ def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
         bm1, bv1 = m1, v1
     s1, t1 = _affine_from_stats(g1, b1, bm1, bv1, eps)
 
-    # exit: affine+relu+un-layout in one fused XLA pass
+    # exit: affine+relu (+un-layout unless staying cm) in one XLA pass
     y_cm = jnp.maximum(
         out1.astype(jnp.float32) * s1[None, None, :, None]
         + t1[None, None, :, None], 0.0).astype(dt)
-    y = from_cm(y_cm, H, W)
+    y = y_cm if cm_out else from_cm(y_cm, H, W)
     stats = (bm0, bv0, bm1, bv1) if train \
         else (jnp.zeros_like(m0), jnp.zeros_like(v0),
               jnp.zeros_like(m1), jnp.zeros_like(v1))
@@ -446,17 +462,18 @@ def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
 
 
 def _vjp_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-             train, eps, interpret):
+             train, eps, interpret, cm_in, cm_out, hw):
     y, stats, res = _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                               train, eps, interpret)
+                               train, eps, interpret, cm_in, cm_out, hw)
     return (y, stats), res
 
 
-def _vjp_bwd(train, eps, interpret, res, cot):
+def _vjp_bwd(train, eps, interpret, cm_in, cm_out, hw, res, cot):
     dy, _dstats = cot
     (x_cm, w0, g0, b0, w1, g1, b1, out0, out1, stats) = res
     bm0, bv0, bm1, bv1 = stats
-    B, D, H, W = dy.shape[0], dy.shape[1], dy.shape[2], dy.shape[3]
+    H, W = hw
+    B, D = x_cm.shape[0], x_cm.shape[1]
     HW = H * W
     n = float(B * D * HW)
     dt = x_cm.dtype
@@ -484,7 +501,7 @@ def _vjp_bwd(train, eps, interpret, res, cot):
             d_out = dp * s
         return d_out.astype(dt), dgamma, dbeta
 
-    dy_cm = to_cm(dy)
+    dy_cm = dy if cm_out else to_cm(dy)
     dout1, dg1, db1 = bn_back(dy_cm, out1, g1, b1, bm1, bv1)
 
     s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
@@ -505,7 +522,7 @@ def _vjp_bwd(train, eps, interpret, res, cot):
                      interpret=interpret)
     dw0 = dw0.astype(w0.dtype)
 
-    dx = from_cm(dx_cm, H, W).astype(dt)
+    dx = dx_cm.astype(dt) if cm_in else from_cm(dx_cm, H, W).astype(dt)
     zf = jnp.zeros_like
     return (dx, dw0.astype(w0.dtype), dg0.astype(g0.dtype),
             db0.astype(b0.dtype), dw1, dg1.astype(g1.dtype),
@@ -544,14 +561,19 @@ def fused_stack_first_xla_supported(x_shape, features, kernel_sizes,
 
 def fused_cbr2_first_xla(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
                          train=True, eps=1e-5, momentum=0.9,
-                         interpret=False):
+                         interpret=False, cm_out=False):
     """Like fused_cbr2 but conv_0 runs as an XLA convolution (used when
     the first conv's channel count is below the kernel's floor, e.g. the
     DC3D input stack's Ci=1). Everything downstream of conv_0 — stats,
     BN0 affine+relu (in conv_1's prologue), conv_1, BN1+relu — is fused.
+    Input is always NDHWC (this is the network entry); cm_out keeps the
+    output (and its cotangent) in the kernel layout.
     """
     y, stats = _fused_first_xla_vjp(x, w0, g0, b0, w1, g1, b1,
-                                    m0, v0, m1, v1, train, eps, interpret)
+                                    m0, v0, m1, v1, train, eps, interpret,
+                                    cm_out)
+    if cm_out:
+        y = CM(y, x.shape[2], x.shape[3])
     if train:
         bm0, bv0, bm1, bv1 = stats
         new = tuple(momentum * r + (1 - momentum) * s
@@ -567,17 +589,17 @@ def _xla_conv(x, w):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def _fused_first_xla_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                         train, eps, interpret):
+                         train, eps, interpret, cm_out):
     y, stats, _ = _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1,
                                        m0, v0, m1, v1, train, eps,
-                                       interpret)
+                                       interpret, cm_out)
     return y, stats
 
 
 def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                         train, eps, interpret):
+                         train, eps, interpret, cm_out):
     B, D, H, W, _ = x.shape
     dt = x.dtype
     h0 = _xla_conv(x, w0)
@@ -602,7 +624,7 @@ def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
     y_cm = jnp.maximum(
         out1.astype(jnp.float32) * s1[None, None, :, None]
         + t1[None, None, :, None], 0.0).astype(dt)
-    y = from_cm(y_cm, H, W)
+    y = y_cm if cm_out else from_cm(y_cm, H, W)
     stats = (bm0, bv0, bm1, bv1) if train \
         else (jnp.zeros_like(m0), jnp.zeros_like(v0),
               jnp.zeros_like(m1), jnp.zeros_like(v1))
@@ -611,18 +633,18 @@ def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
 
 
 def _first_xla_vjp_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                       train, eps, interpret):
+                       train, eps, interpret, cm_out):
     y, stats, res = _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1,
                                          m0, v0, m1, v1, train, eps,
-                                         interpret)
+                                         interpret, cm_out)
     return (y, stats), res
 
 
-def _first_xla_vjp_bwd(train, eps, interpret, res, cot):
+def _first_xla_vjp_bwd(train, eps, interpret, cm_out, res, cot):
     dy, _ = cot
     (x, w0, g0, b0, w1, g1, b1, h0_cm, out1, stats) = res
     bm0, bv0, bm1, bv1 = stats
-    B, D, H, W = dy.shape[0], dy.shape[1], dy.shape[2], dy.shape[3]
+    B, D, H, W = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
     HW = H * W
     n = float(B * D * HW)
     dt = x.dtype
@@ -649,7 +671,7 @@ def _first_xla_vjp_bwd(train, eps, interpret, res, cot):
             d_out = dp * s
         return d_out.astype(dt), dgamma, dbeta
 
-    dy_cm = to_cm(dy)
+    dy_cm = dy if cm_out else to_cm(dy)
     dout1, dg1, db1 = bn_back(dy_cm, out1, g1, b1, bm1, bv1)
 
     s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)

@@ -117,6 +117,36 @@ class PallasConv3d(nn.Module):
         return y
 
 
+class Conv1x1(nn.Module):
+    """1x1x1 convolution with nn.Conv's exact parameter tree
+    ({kernel (1,1,1,Ci,Co) [, bias]}, lecun_normal/zeros inits) that runs
+    on either an NDHWC array or a CM kernel-layout activation — so the
+    top layer / tap heads can consume cm-resident features without a
+    layout round trip. Numerics match nn.Conv (inputs and kernel promoted
+    to `dtype`, a single dot over the channel axis)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..core.pallas.cm import CM, conv1x1_cm
+        ci = x.data.shape[2] if isinstance(x, CM) else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        if isinstance(x, CM):
+            return conv1x1_cm(x, kernel, bias, self.dtype)
+        k = kernel.reshape(ci, self.features).astype(self.dtype)
+        y = jnp.einsum("...i,io->...o", x.astype(self.dtype), k)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class _ConvKernel(nn.Module):
     """Parameter-only scope matching nn.Conv's tree ({name}/kernel) for the
     fused-stack path — checkpoints swap freely with the unfused modules."""
@@ -175,18 +205,27 @@ class ConvStack(nn.Module):
     use_pallas_conv: bool = False
     use_fused_stack: bool = False
     fused_interpret: bool = False
+    # emit the fused chain's output in the CM kernel layout (the parent
+    # block keeps pool/upsample/concat cm-resident; core/pallas/cm.py)
+    cm_out: bool = False
 
-    def _fused(self, x, chain_fn):
-        ci = x.shape[-1]
+    def _fused(self, x, chain_fn, cm_capable):
+        from ..core.pallas.cm import CM
+        if isinstance(x, CM):
+            ci = x.data.shape[2]
+        else:
+            ci = x.shape[-1]
+            x = x.astype(self.dtype)
         f0, f1 = self.features
         w0 = _ConvKernel((3, 3, 3, ci, f0), name="conv_0")()
         g0, b0, m0, v0 = _BNState(f0, name="BatchNorm_0")()
         w1 = _ConvKernel((3, 3, 3, f0, f1), name="conv_1")()
         g1, b1, m1, v1 = _BNState(f1, name="BatchNorm_1")()
         y, (nm0, nv0, nm1, nv1) = chain_fn(
-            x.astype(self.dtype), w0, g0, b0, m0.value, v0.value,
+            x, w0, g0, b0, m0.value, v0.value,
             w1, g1, b1, m1.value, v1.value,
-            train=self.train, interpret=self.fused_interpret)
+            train=self.train, interpret=self.fused_interpret,
+            cm_out=self.cm_out and cm_capable)
         if self.train and not self.is_initializing():
             m0.value, v0.value = nm0, nv0
             m1.value, v1.value = nm1, nv1
@@ -194,18 +233,22 @@ class ConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..core.pallas.cm import CM, as_ndhwc
         from ..core.pallas.conv3d import supported as pallas_conv_ok
         from ..core.pallas.fused_stack import (
             fused_cbr2, fused_cbr2_first_xla, fused_stack_supported,
             fused_stack_first_xla_supported)
+        shape = x.logical_shape if isinstance(x, CM) else x.shape
         if self.use_fused_stack:
-            args = (x.shape, self.features, self.kernel_sizes,
+            args = (shape, self.features, self.kernel_sizes,
                     self.paddings, self.strides, self.norm_method,
                     self.act_method, self.dropout)
             if fused_stack_supported(*args):
-                return self._fused(x, fused_cbr2)
+                return self._fused(x, fused_cbr2, cm_capable=True)
             if fused_stack_first_xla_supported(*args):
-                return self._fused(x, fused_cbr2_first_xla)
+                return self._fused(as_ndhwc(x), fused_cbr2_first_xla,
+                                   cm_capable=True)
+        x = as_ndhwc(x)
         norm_factory = make_norm(self.norm_method, self.dtype, self.axis_name)
         act = make_act(self.act_method)
         for i, feat in enumerate(self.features):
@@ -254,6 +297,7 @@ class ConvBlock5d(nn.Module):
     use_pallas_conv: bool = False
     use_fused_stack: bool = False
     fused_interpret: bool = False
+    fused_cm: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -266,7 +310,7 @@ class ConvBlock5d(nn.Module):
                          self.dropout, self.train, self.dtype,
                          self.axis_name, self.use_pallas_conv,
                          self.use_fused_stack, self.fused_interpret,
-                         name="convs")(x)
+                         self.fused_cm, name="convs")(x)
 
 
 class ConvPoolBlock5d(nn.Module):
@@ -287,9 +331,11 @@ class ConvPoolBlock5d(nn.Module):
     use_pallas_conv: bool = False
     use_fused_stack: bool = False
     fused_interpret: bool = False
+    fused_cm: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ..core.pallas.cm import CM, maxpool2_cm
         n = len(self.features)
         y = ConvStack(self.features,
                       _as_list(self.kernel_size, n),
@@ -299,7 +345,14 @@ class ConvPoolBlock5d(nn.Module):
                       self.dropout, self.train, self.dtype,
                       self.axis_name, self.use_pallas_conv,
                       self.use_fused_stack, self.fused_interpret,
-                      name="convs")(x)
+                      self.fused_cm, name="convs")(x)
+        if isinstance(y, CM):
+            D = y.data.shape[1]
+            if (self.pool_size == 2 and self.pool_strides == 2
+                    and D % 2 == 0 and y.H % 2 == 0 and y.W % 2 == 0):
+                return y, maxpool2_cm(y)
+            from ..core.pallas.cm import as_ndhwc
+            y = as_ndhwc(y)
         pooled = nn.max_pool(y, window_shape=(self.pool_size,) * 3,
                              strides=(self.pool_strides,) * 3)
         return y, pooled
@@ -328,19 +381,31 @@ class UpsampleConvBlock5d(nn.Module):
     use_pallas_conv: bool = False
     use_fused_stack: bool = False
     fused_interpret: bool = False
+    fused_cm: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
+        from ..core.pallas.cm import CM, as_ndhwc, concat_cm, upsample2x_cm
         from ..core.resample import resize3d, upsample2x_local
         sf = self.scale_factor
         if isinstance(sf, (tuple, list)):
             sf = sf[0]
-        if self.local_upsample and sf == 2:
-            x = upsample2x_local(x)
+        if (isinstance(x, CM) and isinstance(skip, CM) and sf == 2
+                and not self.local_upsample
+                and (2 * x.data.shape[1], 2 * x.H, 2 * x.W)
+                == (skip.data.shape[1], skip.H, skip.W)):
+            # cm-resident decoder step: matrix upsample + channel concat,
+            # no crop needed (exact 2x ladder), no layout round trip
+            x = concat_cm([upsample2x_cm(x), skip])
         else:
-            out_size = tuple(int(s * sf) for s in x.shape[1:4])
-            x = resize3d(x, out_size, method="trilinear", align_corners=True)
-        x = crop_concat(x, skip)
+            x, skip = as_ndhwc(x), as_ndhwc(skip)
+            if self.local_upsample and sf == 2:
+                x = upsample2x_local(x)
+            else:
+                out_size = tuple(int(s * sf) for s in x.shape[1:4])
+                x = resize3d(x, out_size, method="trilinear",
+                             align_corners=True)
+            x = crop_concat(x, skip)
         n = len(self.features)
         return ConvStack(self.features,
                          _as_list(self.kernel_size, n),
@@ -350,4 +415,4 @@ class UpsampleConvBlock5d(nn.Module):
                          self.dropout, self.train, self.dtype,
                          self.axis_name, self.use_pallas_conv,
                          self.use_fused_stack, self.fused_interpret,
-                         name="convs")(x)
+                         self.fused_cm, name="convs")(x)

@@ -58,6 +58,7 @@ class DC3DATGeneric(nn.Module):
     use_pallas_conv: bool = False
     use_fused_stack: bool = False
     fused_interpret: bool = False
+    fused_cm: bool = True
 
     def setup(self):
         self.backbone = DC3D(
@@ -70,6 +71,7 @@ class DC3DATGeneric(nn.Module):
             use_pallas_conv=self.use_pallas_conv,
             use_fused_stack=self.use_fused_stack,
             fused_interpret=self.fused_interpret,
+            fused_cm=self.fused_cm,
             norm_method=self.norm_method, act_method=self.act_method,
             pooling_method=self.pooling_method, out_cls_ch=self.out_cls_ch,
             train=self.train, dtype=self.dtype, axis_name=self.axis_name)
@@ -144,7 +146,11 @@ class DC3DATGeneric(nn.Module):
 
 
 class _ReshapeHead(nn.Module):
-    """1x1x1 conv + BN + ReLU tap head (reference models.py:488-494)."""
+    """1x1x1 conv + BN + ReLU tap head (reference models.py:488-494).
+
+    Accepts NDHWC or cm-resident (CM) features: the channel-reducing 1x1
+    conv runs layout-native, so tapping a cm-resident encoder feature
+    transposes only the small f_dim-channel result."""
 
     features: int
     train: bool
@@ -152,8 +158,10 @@ class _ReshapeHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, kernel_size=(1, 1, 1), padding="VALID",
-                    use_bias=True, dtype=self.dtype, name="conv")(x)
+        from ..core.pallas.cm import as_ndhwc
+        from .blocks import Conv1x1
+        x = as_ndhwc(Conv1x1(self.features, use_bias=True,
+                             dtype=self.dtype, name="conv")(x))
         x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core import ops
 from ..core.resample import resize3d
-from .blocks import ConvBlock5d, ConvPoolBlock5d, UpsampleConvBlock5d
+from .blocks import Conv1x1, ConvBlock5d, ConvPoolBlock5d, UpsampleConvBlock5d
 
 
 def _block_cls(cls, remat):
@@ -60,6 +60,10 @@ class DC3D(nn.Module):
     # fully fused conv->bn->relu->conv chain (TPU single-chip; same tree)
     use_fused_stack: bool = False
     fused_interpret: bool = False
+    # keep activations in the fused kernel's (B, D, C, M) layout BETWEEN
+    # stacks (pool/upsample/concat/top run layout-native; cm.py) — only
+    # meaningful with use_fused_stack
+    fused_cm: bool = True
 
     def setup(self):
         ks = (list(self.kernel_sizes) if self.kernel_sizes is not None
@@ -71,7 +75,8 @@ class DC3D(nn.Module):
                       axis_name=self.axis_name,
                       use_pallas_conv=self.use_pallas_conv,
                       use_fused_stack=self.use_fused_stack,
-                      fused_interpret=self.fused_interpret)
+                      fused_interpret=self.fused_interpret,
+                      fused_cm=self.use_fused_stack and self.fused_cm)
 
         self.ds_modules = [
             _block_cls(ConvPoolBlock5d, self.checkpoint_layers[i] > 0)(
@@ -96,8 +101,9 @@ class DC3D(nn.Module):
                 name=f"us_{i}", **common)
             for i in range(self.n_layers)
         ]
-        self.top_layer = nn.Conv(features=self.out_ch, kernel_size=(1, 1, 1),
-                                 padding="VALID", use_bias=True,
+        # Conv1x1 == nn.Conv(1x1x1, VALID) numerically and tree-wise, but
+        # also consumes cm-resident decoder features without a transpose
+        self.top_layer = Conv1x1(features=self.out_ch, use_bias=True,
                                  dtype=self.dtype, name="top_layer")
 
     def encoder(self, x):
@@ -122,7 +128,8 @@ class DC3D(nn.Module):
         return us_feats
 
     def top(self, outs, spatial_size):
-        dense = self.top_layer(outs)
+        from ..core.pallas.cm import as_ndhwc
+        dense = as_ndhwc(self.top_layer(outs))
         dense = resize3d(dense, spatial_size, method="trilinear",
                          align_corners=True)
         return dense.astype(jnp.float32)

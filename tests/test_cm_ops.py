@@ -1,0 +1,157 @@
+"""cm-layout residency ops (core/pallas/cm.py) vs their NDHWC twins, and
+the CM-aware modules (Conv1x1, the fused DC3DATGeneric) vs the unfused
+reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dram_tpu.core.pallas.cm import (CM, as_ndhwc, concat_cm, conv1x1_cm,
+                                     from_cm, maxpool2_cm, resize_cm, to_cm,
+                                     to_cm_t, upsample2x_cm)
+from dram_tpu.core.resample import resize3d
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+class TestLayout:
+    def test_round_trip(self, rng):
+        x = _rand(rng, (2, 4, 5, 10, 7))
+        cm = to_cm_t(x)
+        assert cm.logical_shape == x.shape
+        np.testing.assert_array_equal(np.asarray(as_ndhwc(cm)),
+                                      np.asarray(x))
+
+    def test_pytree(self, rng):
+        x = to_cm_t(_rand(rng, (1, 2, 3, 4, 5)))
+        y = jax.tree_util.tree_map(lambda a: a * 2, x)
+        assert isinstance(y, CM) and (y.H, y.W) == (x.H, x.W)
+        # static (H, W) survives jit tracing
+        out = jax.jit(lambda c: as_ndhwc(c))(x)
+        assert out.shape == x.logical_shape
+
+
+class TestBoundaryOps:
+    def test_maxpool2(self, rng):
+        import flax.linen as nn
+        x = _rand(rng, (2, 4, 6, 10, 5))
+        want = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+        got = as_ndhwc(maxpool2_cm(to_cm_t(x)))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_maxpool2_grad(self, rng):
+        x = _rand(rng, (1, 2, 4, 4, 3))
+        import flax.linen as nn
+
+        def f_cm(a):
+            return jnp.sum(as_ndhwc(maxpool2_cm(to_cm_t(a))) ** 2)
+
+        def f_nd(a):
+            return jnp.sum(nn.max_pool(a, (2, 2, 2), (2, 2, 2)) ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f_cm)(x)),
+                                   np.asarray(jax.grad(f_nd)(x)),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("out_dhw", [(8, 12, 20), (3, 4, 5), (4, 6, 10)])
+    def test_resize(self, rng, out_dhw):
+        x = _rand(rng, (2, 4, 6, 10, 3))
+        want = resize3d(x, out_dhw, method="trilinear", align_corners=True)
+        got = as_ndhwc(resize_cm(to_cm_t(x), out_dhw))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_upsample2x(self, rng):
+        x = _rand(rng, (1, 3, 4, 6, 2))
+        want = resize3d(x, (6, 8, 12), method="trilinear",
+                        align_corners=True)
+        got = as_ndhwc(upsample2x_cm(to_cm_t(x)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_concat(self, rng):
+        a = _rand(rng, (1, 2, 4, 6, 3))
+        b = _rand(rng, (1, 2, 4, 6, 5))
+        got = as_ndhwc(concat_cm([to_cm_t(a), to_cm_t(b)]))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.concatenate([a, b], axis=-1)))
+
+    def test_pad_lanes_zero(self, rng):
+        """Produced cm arrays keep to_cm's zero-pad-lane contract."""
+        x = _rand(rng, (1, 2, 4, 10, 3))  # H*W=40 -> padded lanes
+        for cm in (maxpool2_cm(to_cm_t(x)),
+                   resize_cm(to_cm_t(x), (2, 4, 10)),
+                   upsample2x_cm(to_cm_t(x))):
+            pad = np.asarray(cm.data[..., cm.H * cm.W:])
+            np.testing.assert_array_equal(pad, np.zeros_like(pad))
+
+
+class TestConv1x1:
+    def test_matches_nn_conv(self, rng):
+        import flax.linen as nn
+        from dram_tpu.models.blocks import Conv1x1
+        x = _rand(rng, (2, 3, 4, 6, 5))
+        ref = nn.Conv(7, kernel_size=(1, 1, 1), padding="VALID",
+                      use_bias=True)
+        new = Conv1x1(7, use_bias=True)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(new.init(jax.random.PRNGKey(0), x))
+        want = ref.apply(v, x)
+        np.testing.assert_allclose(np.asarray(new.apply(v, x)),
+                                   np.asarray(want), atol=1e-5, rtol=1e-5)
+        got_cm = new.apply(v, to_cm_t(x))
+        np.testing.assert_allclose(np.asarray(as_ndhwc(got_cm)),
+                                   np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+class TestFusedAttModel:
+    """DC3DATGeneric with the fused cm-resident stack (interpret mode)
+    matches the unfused model: forward heads and parameter gradients."""
+
+    CFG = dict(n_layers=2,
+               in_ch_list=(1, 8, 16, 48, 24),
+               base_ch_list=(8, 8, 16, 16, 8),
+               end_ch_list=(8, 16, 32, 16, 8),
+               padding_list=((1, 1),) * 5,
+               checkpoint_layers=(0, 1, 0, 0, 0),
+               kernel_sizes=[(3, 3)] * 5,
+               stacking=2, dropout=0.0, out_ch=1,
+               at_spatial_size=(6, 6, 6), at_layers=(-1, 0, 1),
+               at_f_dim=4, at_g_dim=4,
+               at_merge_type="scaled_dot_product_relu")
+
+    def test_forward_and_grads_match(self, rng):
+        from dram_tpu.models import DC3DATGeneric
+        ref = DC3DATGeneric(**self.CFG, train=True)
+        fused = DC3DATGeneric(**self.CFG, train=True, use_fused_stack=True,
+                              fused_interpret=True)
+        x = _rand(rng, (2, 8, 8, 8, 1))
+        v = ref.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+            fused.init(jax.random.PRNGKey(0), x))
+
+        def loss(model, params):
+            (dense, refined), _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, mutable=["batch_stats"])
+            return jnp.sum(dense ** 2) + jnp.sum(refined ** 2)
+
+        (y1, r1), _ = ref.apply(v, x, mutable=["batch_stats"])
+        (y2, r2), _ = fused.apply(v, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   atol=1e-3, rtol=1e-3)
+
+        g1 = jax.grad(lambda p: loss(ref, p))(v["params"])
+        g2 = jax.grad(lambda p: loss(fused, p))(v["params"])
+        for (p, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g1),
+                jax.tree_util.tree_leaves_with_path(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"grad {p}")

@@ -189,6 +189,20 @@ def check_fused_stack():
         print(f"fused stack grad d{name}: rel-L2 {rel:.3e} cos {cos:.6f}"
               f" -> {'OK' if good else 'FAIL'}")
         ok &= good
+
+    # cm-resident wrapper (CM in / CM out, the layout the model keeps
+    # between stacks) must be bit-identical to the NDHWC wrapper: same
+    # kernels, only the boundary transposes move
+    from dram_tpu.core.pallas.cm import as_ndhwc, to_cm_t
+
+    def f_cm(x):
+        y, _ = fused_cbr2(to_cm_t(x), w0, g0, b0, m0, v0, w1, g1, b1,
+                          m1, v1, train=True, cm_out=True)
+        return as_ndhwc(y)
+
+    y_cm = jax.jit(f_cm)(x)
+    ok &= _report("fused stack cm-in/cm-out vs NDHWC", y_cm, yf,
+                  atol=0.0, rtol=0.0)
     return ok
 
 
