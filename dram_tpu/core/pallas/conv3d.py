@@ -64,13 +64,15 @@ def _roll_lanes(x, s):
 
 def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
                 H, W, M, Ci, Co, BD):
-    """Forward: dx via a K=3*Ci patch, dz via slab rows, dy via 3 output
-    rolls (an output roll moves the small (Co, H*W) plane instead of 9
-    input planes — VPU copies are the kernel's second-order cost)."""
+    """Forward: dx via a K=3*Ci patch, dz via slab rows; the three dy
+    weight planes are STACKED on the dot's output dim ((3*Co, 3*Ci) x
+    (3*Ci, M) per dz) so Co=64 layers fill the 128-row MXU, then combined
+    with 2 output rolls (an output roll moves the small (Co, H*W) plane
+    instead of 9 input planes)."""
     b, z = pl.program_id(0), pl.program_id(1)
     cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z * BD, BD + 2)], slab, sem)
     cp.start()
-    w = w_ref[:]  # (9, Co, 3*Ci), j = dz*3+dy, K-minor is dx-major
+    w = w_ref[:]  # (3, 3*Co, 3*Ci): dz-major, dy*Co rows, dx-major cols
     cp.wait()
 
     # dx patches for every slab row, built once per grid step
@@ -82,17 +84,18 @@ def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
 
     for r in range(BD):
         acc[:] = jnp.zeros_like(acc)
-        for dyi, dy in enumerate((-1, 0, 1)):
-            v = jnp.zeros((Co, M), jnp.float32)
-            for dzi in range(3):
-                v += jax.lax.dot_general(
-                    w[dzi * 3 + dyi], patch[r + dzi],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (Co, H*W)
-            # out[y] += v[y + dy], zero where y + dy leaves the plane
-            acc[:] += _roll_lanes(v, dy * W) * \
+        for dzi in range(3):
+            acc[:] += jax.lax.dot_general(
+                w[dzi], patch[r + dzi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (3*Co, M)
+        v = acc[:]
+        # out[y] += v[dy][y + dy], zero where y + dy leaves the plane
+        o = v[Co:2 * Co] * _plane_valid(H, W, M, 0, 0, jnp.float32)
+        for dyi, dy in ((0, -1), (2, 1)):
+            o += _roll_lanes(v[dyi * Co:(dyi + 1) * Co], dy * W) * \
                 _plane_valid(H, W, M, dy, 0, jnp.float32)
-        out_ref[r] = acc[:].astype(out_ref.dtype)
+        out_ref[r] = o.astype(out_ref.dtype)
 
 
 def _dw_kernel(x_hbm, dy_hbm, dw_ref, patch, dyb, slab, sems, semd, *,
@@ -130,14 +133,16 @@ def _dw_kernel(x_hbm, dy_hbm, dw_ref, patch, dyb, slab, sems, semd, *,
                 _plane_valid(H, W, M, 0, dx, row.dtype)
 
     for r in range(BD):
-        for dyi, dy_ in enumerate((-1, 0, 1)):
-            dyr = _roll_lanes(
-                dyb[r] * _plane_valid(H, W, M, dy_, 0, dyb.dtype),
-                -dy_ * W)                                 # (Co, M)
-            for dzi in range(3):
-                dw_ref[dzi, dyi] += jax.lax.dot_general(
-                    patch[r + dzi], dyr, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (3Ci, Co)
+        # the 3 dy-shifted cotangent planes stacked on the dot's output
+        # dim: one (3Ci, M) x (3Co, M) dot per dz instead of three Co-wide
+        dyr3 = jnp.concatenate([
+            _roll_lanes(dyb[r] * _plane_valid(H, W, M, dy_, 0, dyb.dtype),
+                        -dy_ * W)
+            for dy_ in (-1, 0, 1)], axis=0)               # (3*Co, M)
+        for dzi in range(3):
+            dw_ref[dzi] += jax.lax.dot_general(
+                patch[r + dzi], dyr3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (3Ci, 3Co)
 
 
 def _plane_pad(HW):
@@ -159,13 +164,15 @@ def _fwd_impl(x, w, interpret):
     Co = w.shape[-1]
     M = _plane_pad(H * W)
     xp = _to_cp(x, B, D, H, W, Ci, M)
-    # (9, Co, 3*Ci): [dz*3+dy][co, dx*Ci+ci] = w[dz,dy,dx,ci,co]
+    # (3, 3*Co, 3*Ci): [dz][dy*Co+co, dx*Ci+ci] = w[dz,dy,dx,ci,co]
     wk = jnp.transpose(w.astype(x.dtype), (0, 1, 4, 2, 3)).reshape(
-        9, Co, 3 * Ci)
+        3, 3 * Co, 3 * Ci)
 
-    # patch scratch is the VMEM governor: (BD+2) rows of (3*Ci, M)
+    # patch scratch is the VMEM governor: (BD+2) rows of (3*Ci, M), after
+    # the (3*Co, M) f32 dy-stacked accumulator takes its cut
+    acc_bytes = 3 * Co * M * 4
     per_row = 3 * Ci * M * x.dtype.itemsize
-    BD = int(max(1, min(8, (48 * 1024 * 1024) // per_row - 2)))
+    BD = int(max(1, min(8, (48 * 1024 * 1024 - acc_bytes) // per_row - 2)))
     while D % BD:
         BD -= 1
     kernel = functools.partial(_fwd_kernel, H=H, W=W, M=M, Ci=Ci, Co=Co,
@@ -174,14 +181,14 @@ def _fwd_impl(x, w, interpret):
         kernel,
         grid=(B, D // BD),
         in_specs=[
-            pl.BlockSpec((9, Co, 3 * Ci), lambda b, z: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, z: (0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((None, BD, Co, M),
                                lambda b, z: (b, z, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, D, Co, M), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Co, M), jnp.float32),
+            pltpu.VMEM((3 * Co, M), jnp.float32),
             pltpu.VMEM((BD + 2, 3 * Ci, M), x.dtype),
             pltpu.VMEM((BD + 2, Ci, M), x.dtype),
             pltpu.SemaphoreType.DMA,
@@ -241,8 +248,8 @@ def _vjp_bwd(interpret, res, dy):
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((3, 3, 3 * Ci, Co), lambda b, z: (0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * Ci, Co), jnp.float32),
+        out_specs=pl.BlockSpec((3, 3 * Ci, 3 * Co), lambda b, z: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * Ci, 3 * Co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((BD + 2, 3 * Ci, M), x.dtype),
             pltpu.VMEM((BD, Co, M), dy.dtype),
@@ -254,8 +261,8 @@ def _vjp_bwd(interpret, res, dy):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, dyp)
-    # (3, 3, 3*Ci, Co): dx-major blocks of Ci -> (dz, dy, dx, ci, co)
-    dw = dw.reshape(3, 3, 3, Ci, Co).astype(w.dtype)
+    # (dz, dx*Ci, dy*Co) -> (dz, dy, dx, ci, co)
+    dw = dw.reshape(3, 3, Ci, 3, Co).transpose(0, 3, 1, 2, 4).astype(w.dtype)
     return dx, dw
 
 
