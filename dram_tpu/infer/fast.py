@@ -732,13 +732,11 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     size = np.minimum(-(-(hi - lo) // 32) * 32, shape_arr)
     crop_lo = np.maximum(np.minimum(lo, shape_arr - size), 0)
     iso_shape = tuple(int(s) for s in size)
-    sl = tuple(slice(int(l), int(l) + s)
-               for l, s in zip(crop_lo, iso_shape))
     # the scan is resampled only inside the crop window (the rest of the
     # iso grid is never consumed by the chunk wire)
     scan_c = hp.resample_window_int16(scan_int16, spacing, iso_spacing,
                                       crop_lo, iso_shape, fill=pad_value)
-    lobe_c = np.ascontiguousarray(iso_lobe[sl])
+    lobe_c = hp.crop_copy(iso_lobe, crop_lo, iso_shape)
 
     # per-lobe bboxes inside the crop (+border), python _bboxes semantics
     border_vox = int(np.ceil(crop_border_mm / iso_spacing))
@@ -779,7 +777,7 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     vessel_c = None
     if vessel_u8 is not None and np.any(vessel_u8):
         iso_vessel = hp.resample_iso_labels(vessel_u8, spacing, iso_spacing)
-        vessel_c = np.ascontiguousarray(iso_vessel[sl])
+        vessel_c = hp.crop_copy(iso_vessel, crop_lo, iso_shape)
     cand_bits = hp.cand_bits(u8, vessel_c, th_u8)
     lobe_bits = hp.lobe_bucket_bits(lobe_c, starts, bucket, n_lobes)
 

@@ -83,6 +83,10 @@ def _lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
+        lib.crop_copy_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -232,6 +236,17 @@ class hostprep_native:
             starts.ctypes.data, *[int(b) for b in bucket],
             int(n_labels), bits.ctypes.data)
         return bits
+
+    @staticmethod
+    def crop_copy(vol_u8, lo3, size3):
+        """Contiguous copy of a crop window (NumPy's strided copy of a
+        26 MB crop measured ~250 ms on the 1-core host; this is memcpy)."""
+        vol = np.ascontiguousarray(vol_u8, np.uint8)
+        out = np.empty(tuple(int(s) for s in size3), np.uint8)
+        _lib().crop_copy_u8(vol.ctypes.data, *[int(s) for s in vol.shape],
+                            *[int(v) for v in lo3],
+                            *[int(v) for v in size3], out.ctypes.data)
+        return out
 
     @staticmethod
     def unpackbits(packed, shape):

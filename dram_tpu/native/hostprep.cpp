@@ -57,6 +57,131 @@ AxisTable make_axis(int in_size, int out_size, double scale, bool nearest,
     return t;
 }
 
+// x-lerp one input row to oW floats — the only gathering loop of the
+// plane-cache resample; everything downstream is contiguous and
+// auto-vectorizes. Values match the naive 8-tap math bit-exactly: int16
+// source values are exactly representable in f32, so computing the x
+// lerp once and reusing it produces the identical f32 expression tree.
+template <typename T>
+inline void xlerp_row(const T* src, const AxisTable& tx, int oW,
+                      float* out) {
+    const int32_t* lo = tx.lo.data();
+    const int32_t* hi = tx.hi.data();
+    const float* fr = tx.frac.data();
+    for (int x = 0; x < oW; ++x) {
+        const float a = (float)src[lo[x]];
+        out[x] = a + fr[x] * ((float)src[hi[x]] - a);
+    }
+}
+
+// xy-lerped plane of input z index zi. A 2-slot x-lerped row cache
+// exploits the monotone y source indices so each input row is x-lerped
+// once per plane.
+template <typename T>
+void build_plane(const T* in, int64_t HW, int W, int zi,
+                 const AxisTable& ty, const AxisTable& tx,
+                 int oH, int oW, float* P, float* rowa, float* rowb) {
+    const T* plane = in + (int64_t)zi * HW;
+    int ia = -1, ib = -1;
+    auto ensure = [&](int yi) -> const float* {
+        if (yi == ia) return rowa;
+        if (yi == ib) return rowb;
+        if (ia < ib) {  // evict the older (smaller) index
+            xlerp_row(plane + (int64_t)yi * W, tx, oW, rowa);
+            ia = yi;
+            return rowa;
+        }
+        xlerp_row(plane + (int64_t)yi * W, tx, oW, rowb);
+        ib = yi;
+        return rowb;
+    };
+    for (int y = 0; y < oH; ++y) {
+        const float fy = ty.frac[y];
+        const float* r0 = ensure(ty.lo[y]);
+        const float* r1 = ensure(ty.hi[y]);
+        float* op = P + (int64_t)y * oW;
+        for (int x = 0; x < oW; ++x)
+            op[x] = r0[x] + fy * (r1[x] - r0[x]);
+    }
+}
+
+// Shared trilinear resample: plane-cached separable evaluation, serial z
+// (the deploy host has one core; the z-plane cache depends on in-order
+// traversal). ROUND selects int16 rounding vs raw float stores.
+template <typename T, bool ROUND>
+void resample_linear_impl(const T* in, int D, int H, int W,
+                          double sz, double sy, double sx,
+                          int offz, int offy, int offx,
+                          int oD, int oH, int oW, double fill, T* out) {
+    AxisTable tz = make_axis(D, oD, sz, false, offz);
+    AxisTable ty = make_axis(H, oH, sy, false, offy);
+    AxisTable tx = make_axis(W, oW, sx, false, offx);
+    const int64_t HW = (int64_t)H * W;
+    const int64_t oHW = (int64_t)oH * oW;
+    const T tfill = (T)fill;
+
+    // contiguous valid spans (src coords are monotone in the index)
+    int ya = 0, yb = oH, xa = 0, xb = oW;
+    while (ya < oH && !ty.valid[ya]) ++ya;
+    while (yb > ya && !ty.valid[yb - 1]) --yb;
+    while (xa < oW && !tx.valid[xa]) ++xa;
+    while (xb > xa && !tx.valid[xb - 1]) --xb;
+
+    std::vector<float> P0((size_t)oHW), P1((size_t)oHW);
+    std::vector<float> rowa(oW), rowb(oW);
+    int c0 = -1, c1 = -1;
+
+    for (int z = 0; z < oD; ++z) {
+        T* orow = out + (int64_t)z * oHW;
+        if (!tz.valid[z]) {
+            for (int64_t i = 0; i < oHW; ++i) orow[i] = tfill;
+            continue;
+        }
+        const int z0 = tz.lo[z], z1 = tz.hi[z];
+        const float fz = tz.frac[z];
+        if (c0 != z0) {
+            if (c1 == z0) {
+                std::swap(P0, P1);
+                std::swap(c0, c1);
+            } else {
+                build_plane(in, HW, W, z0, ty, tx, oH, oW, P0.data(),
+                            rowa.data(), rowb.data());
+                c0 = z0;
+            }
+        }
+        const float* A = P0.data();
+        const float* B;
+        if (z1 == z0) {
+            B = A;
+        } else {
+            if (c1 != z1) {
+                build_plane(in, HW, W, z1, ty, tx, oH, oW, P1.data(),
+                            rowa.data(), rowb.data());
+                c1 = z1;
+            }
+            B = P1.data();
+        }
+        for (int y = 0; y < oH; ++y) {
+            T* op = orow + (int64_t)y * oW;
+            if (y < ya || y >= yb) {
+                for (int x = 0; x < oW; ++x) op[x] = tfill;
+                continue;
+            }
+            for (int x = 0; x < xa; ++x) op[x] = tfill;
+            const float* a = A + (int64_t)y * oW;
+            const float* b = B + (int64_t)y * oW;
+            if (ROUND) {
+                for (int x = xa; x < xb; ++x)
+                    op[x] = (T)std::lrintf(a[x] + fz * (b[x] - a[x]));
+            } else {
+                for (int x = xa; x < xb; ++x)
+                    op[x] = (T)(a[x] + fz * (b[x] - a[x]));
+            }
+            for (int x = xb; x < oW; ++x) op[x] = tfill;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -66,46 +191,8 @@ void resample_iso_linear_i16(const int16_t* in, int D, int H, int W,
                              double sz, double sy, double sx,
                              int oD, int oH, int oW,
                              double fill, int16_t* out) {
-    AxisTable tz = make_axis(D, oD, sz, false);
-    AxisTable ty = make_axis(H, oH, sy, false);
-    AxisTable tx = make_axis(W, oW, sx, false);
-    const int64_t HW = (int64_t)H * W;
-    const int64_t oHW = (int64_t)oH * oW;
-#pragma omp parallel for schedule(static)
-    for (int z = 0; z < oD; ++z) {
-        const int z0 = tz.lo[z], z1 = tz.hi[z];
-        const float fz = tz.frac[z];
-        int16_t* orow = out + (int64_t)z * oHW;
-        if (!tz.valid[z]) {
-            for (int64_t i = 0; i < oHW; ++i) orow[i] = (int16_t)fill;
-            continue;
-        }
-        for (int y = 0; y < oH; ++y) {
-            const int y0 = ty.lo[y], y1 = ty.hi[y];
-            const float fy = ty.frac[y];
-            const bool vy = ty.valid[y];
-            const int16_t* p00 = in + (int64_t)z0 * HW + (int64_t)y0 * W;
-            const int16_t* p01 = in + (int64_t)z0 * HW + (int64_t)y1 * W;
-            const int16_t* p10 = in + (int64_t)z1 * HW + (int64_t)y0 * W;
-            const int16_t* p11 = in + (int64_t)z1 * HW + (int64_t)y1 * W;
-            int16_t* op = orow + (int64_t)y * oW;
-            for (int x = 0; x < oW; ++x) {
-                if (!vy || !tx.valid[x]) {
-                    op[x] = (int16_t)fill;
-                    continue;
-                }
-                const int x0 = tx.lo[x], x1 = tx.hi[x];
-                const float fx = tx.frac[x];
-                const float v00 = p00[x0] + fx * (p00[x1] - p00[x0]);
-                const float v01 = p01[x0] + fx * (p01[x1] - p01[x0]);
-                const float v10 = p10[x0] + fx * (p10[x1] - p10[x0]);
-                const float v11 = p11[x0] + fx * (p11[x1] - p11[x0]);
-                const float v0 = v00 + fy * (v01 - v00);
-                const float v1 = v10 + fy * (v11 - v10);
-                op[x] = (int16_t)std::lrintf(v0 + fz * (v1 - v0));
-            }
-        }
-    }
+    resample_linear_impl<int16_t, true>(in, D, H, W, sz, sy, sx, 0, 0, 0,
+                                        oD, oH, oW, fill, out);
 }
 
 // Window variant: emits only the output block starting at (offz, offy,
@@ -116,46 +203,9 @@ void resample_window_linear_i16(const int16_t* in, int D, int H, int W,
                                 int offz, int offy, int offx,
                                 int oD, int oH, int oW,
                                 double fill, int16_t* out) {
-    AxisTable tz = make_axis(D, oD, sz, false, offz);
-    AxisTable ty = make_axis(H, oH, sy, false, offy);
-    AxisTable tx = make_axis(W, oW, sx, false, offx);
-    const int64_t HW = (int64_t)H * W;
-    const int64_t oHW = (int64_t)oH * oW;
-#pragma omp parallel for schedule(static)
-    for (int z = 0; z < oD; ++z) {
-        const int z0 = tz.lo[z], z1 = tz.hi[z];
-        const float fz = tz.frac[z];
-        int16_t* orow = out + (int64_t)z * oHW;
-        if (!tz.valid[z]) {
-            for (int64_t i = 0; i < oHW; ++i) orow[i] = (int16_t)fill;
-            continue;
-        }
-        for (int y = 0; y < oH; ++y) {
-            const int y0 = ty.lo[y], y1 = ty.hi[y];
-            const float fy = ty.frac[y];
-            const bool vy = ty.valid[y];
-            const int16_t* p00 = in + (int64_t)z0 * HW + (int64_t)y0 * W;
-            const int16_t* p01 = in + (int64_t)z0 * HW + (int64_t)y1 * W;
-            const int16_t* p10 = in + (int64_t)z1 * HW + (int64_t)y0 * W;
-            const int16_t* p11 = in + (int64_t)z1 * HW + (int64_t)y1 * W;
-            int16_t* op = orow + (int64_t)y * oW;
-            for (int x = 0; x < oW; ++x) {
-                if (!vy || !tx.valid[x]) {
-                    op[x] = (int16_t)fill;
-                    continue;
-                }
-                const int x0 = tx.lo[x], x1 = tx.hi[x];
-                const float fx = tx.frac[x];
-                const float v00 = p00[x0] + fx * (p00[x1] - p00[x0]);
-                const float v01 = p01[x0] + fx * (p01[x1] - p01[x0]);
-                const float v10 = p10[x0] + fx * (p10[x1] - p10[x0]);
-                const float v11 = p11[x0] + fx * (p11[x1] - p11[x0]);
-                const float v0 = v00 + fy * (v01 - v00);
-                const float v1 = v10 + fy * (v11 - v10);
-                op[x] = (int16_t)std::lrintf(v0 + fz * (v1 - v0));
-            }
-        }
-    }
+    resample_linear_impl<int16_t, true>(in, D, H, W, sz, sy, sx,
+                                        offz, offy, offx,
+                                        oD, oH, oW, fill, out);
 }
 
 // Trilinear resample float32 -> float32 (windowed images in the host
@@ -164,46 +214,8 @@ void resample_iso_linear_f32(const float* in, int D, int H, int W,
                              double sz, double sy, double sx,
                              int oD, int oH, int oW,
                              double fill, float* out) {
-    AxisTable tz = make_axis(D, oD, sz, false);
-    AxisTable ty = make_axis(H, oH, sy, false);
-    AxisTable tx = make_axis(W, oW, sx, false);
-    const int64_t HW = (int64_t)H * W;
-    const int64_t oHW = (int64_t)oH * oW;
-#pragma omp parallel for schedule(static)
-    for (int z = 0; z < oD; ++z) {
-        const int z0 = tz.lo[z], z1 = tz.hi[z];
-        const float fz = tz.frac[z];
-        float* orow = out + (int64_t)z * oHW;
-        if (!tz.valid[z]) {
-            for (int64_t i = 0; i < oHW; ++i) orow[i] = (float)fill;
-            continue;
-        }
-        for (int y = 0; y < oH; ++y) {
-            const int y0 = ty.lo[y], y1 = ty.hi[y];
-            const float fy = ty.frac[y];
-            const bool vy = ty.valid[y];
-            const float* p00 = in + (int64_t)z0 * HW + (int64_t)y0 * W;
-            const float* p01 = in + (int64_t)z0 * HW + (int64_t)y1 * W;
-            const float* p10 = in + (int64_t)z1 * HW + (int64_t)y0 * W;
-            const float* p11 = in + (int64_t)z1 * HW + (int64_t)y1 * W;
-            float* op = orow + (int64_t)y * oW;
-            for (int x = 0; x < oW; ++x) {
-                if (!vy || !tx.valid[x]) {
-                    op[x] = (float)fill;
-                    continue;
-                }
-                const int x0 = tx.lo[x], x1 = tx.hi[x];
-                const float fx = tx.frac[x];
-                const float v00 = p00[x0] + fx * (p00[x1] - p00[x0]);
-                const float v01 = p01[x0] + fx * (p01[x1] - p01[x0]);
-                const float v10 = p10[x0] + fx * (p10[x1] - p10[x0]);
-                const float v11 = p11[x0] + fx * (p11[x1] - p11[x0]);
-                const float v0 = v00 + fy * (v01 - v00);
-                const float v1 = v10 + fy * (v11 - v10);
-                op[x] = v0 + fz * (v1 - v0);
-            }
-        }
-    }
+    resample_linear_impl<float, false>(in, D, H, W, sz, sy, sx, 0, 0, 0,
+                                       oD, oH, oW, fill, out);
 }
 
 // Nearest resample uint8 -> uint8 (labels), 0 outside.
@@ -283,10 +295,30 @@ void lobe_bboxes_u8(const uint8_t* lobe, int D, int H, int W,
             mins[l * 3 + ax] = INT32_MAX;
             maxs[l * 3 + ax] = -1;
         }
+    // word-scan: lobe volumes are mostly zero, so rows are skipped at
+    // 8 bytes per test; only nonzero words fall to the byte loop
     for (int z = 0; z < D; ++z)
         for (int y = 0; y < H; ++y) {
             const uint8_t* row = lobe + ((int64_t)z * H + y) * W;
-            for (int x = 0; x < W; ++x) {
+            int x = 0;
+            for (; x + 8 <= W; x += 8) {
+                uint64_t w8;
+                std::memcpy(&w8, row + x, 8);
+                if (w8 == 0) continue;
+                for (int k = 0; k < 8; ++k) {
+                    const int l = row[x + k] - 1;
+                    if (l < 0 || l >= n_labels) continue;
+                    int32_t* mn = mins + l * 3;
+                    int32_t* mx = maxs + l * 3;
+                    if (z < mn[0]) mn[0] = z;
+                    if (z > mx[0]) mx[0] = z;
+                    if (y < mn[1]) mn[1] = y;
+                    if (y > mx[1]) mx[1] = y;
+                    if (x + k < mn[2]) mn[2] = x + k;
+                    if (x + k > mx[2]) mx[2] = x + k;
+                }
+            }
+            for (; x < W; ++x) {
                 const int l = row[x] - 1;
                 if (l < 0 || l >= n_labels) continue;
                 int32_t* mn = mins + l * 3;
@@ -299,6 +331,20 @@ void lobe_bboxes_u8(const uint8_t* lobe, int D, int H, int W,
                 if (x > mx[2]) mx[2] = x;
             }
         }
+}
+
+// Contiguous copy of a crop window (replaces a slow NumPy strided copy
+// in the prep path: ~250 ms -> memcpy speed for a 26 MB crop).
+void crop_copy_u8(const uint8_t* in, int D, int H, int W,
+                  int loz, int loy, int lox,
+                  int od, int oh, int ow, uint8_t* out) {
+    (void)D;
+    for (int z = 0; z < od; ++z)
+        for (int y = 0; y < oh; ++y)
+            std::memcpy(out + ((int64_t)z * oh + y) * ow,
+                        in + (((int64_t)(loz + z) * H + (loy + y)) * W
+                              + lox),
+                        (size_t)ow);
 }
 
 // Windowed-u8 lerp table for one axis of the fw chunk resize
@@ -383,14 +429,23 @@ void window8_hist_i16(const int16_t* scan, const uint8_t* lobe, int64_t n,
                       int64_t* hist256) {
     const float inv = (float)(255.0 / (w_hi - w_lo));
     const float flo = (float)w_lo, fhi = (float)w_hi;
-    std::memset(hist256, 0, 256 * sizeof(int64_t));
-    for (int64_t i = 0; i < n; ++i) {
-        float v = (float)scan[i];
+    // 64K-entry LUT over the full int16 range replaces the per-voxel
+    // clamp + nearbyint (identical rounding: the LUT is built with the
+    // exact per-voxel math)
+    static_assert(sizeof(int16_t) == 2, "int16 LUT");
+    std::vector<uint8_t> lut(65536);
+    for (int v16 = -32768; v16 < 32768; ++v16) {
+        float v = (float)v16;
         if (v < flo) v = flo;
         if (v > fhi) v = fhi;
-        const uint8_t u = (uint8_t)std::nearbyintf((v - flo) * inv);
+        lut[(uint16_t)(int16_t)v16] =
+            (uint8_t)std::nearbyintf((v - flo) * inv);
+    }
+    std::memset(hist256, 0, 256 * sizeof(int64_t));
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t u = lut[(uint16_t)scan[i]];
         u8_out[i] = u;
-        if (lobe[i] > 0) ++hist256[u];
+        hist256[u] += (int64_t)(lobe[i] > 0);
     }
 }
 
@@ -398,15 +453,38 @@ void window8_hist_i16(const int16_t* scan, const uint8_t* lobe, int64_t n,
 void cand_bits_u8(const uint8_t* u8, const uint8_t* vessel, int64_t n,
                   double th, uint8_t* bits) {
     const int64_t bytes = (n + 7) / 8;
-    const float fth = (float)th;
-#pragma omp parallel for schedule(static)
-    for (int64_t b = 0; b < bytes; ++b) {
+    // integer threshold with identical semantics: (float)u > th for u8 u
+    // is u >= uth where uth is the smallest u8 strictly above th
+    const double fl = std::floor(th);
+    int ith = (int)fl + 1;  // works for fractional and integer th alike
+    if (th < 0) ith = 0;
+    if (ith > 256) ith = 256;  // nothing passes
+    const int64_t full = n / 8;
+    if (vessel == nullptr) {
+        for (int64_t b = 0; b < full; ++b) {
+            const uint8_t* p = u8 + b * 8;
+            bits[b] = (uint8_t)(((p[0] >= ith) << 7) | ((p[1] >= ith) << 6)
+                                | ((p[2] >= ith) << 5) | ((p[3] >= ith) << 4)
+                                | ((p[4] >= ith) << 3) | ((p[5] >= ith) << 2)
+                                | ((p[6] >= ith) << 1) | (p[7] >= ith));
+        }
+    } else {
+        for (int64_t b = 0; b < full; ++b) {
+            const uint8_t* p = u8 + b * 8;
+            const uint8_t* v = vessel + b * 8;
+            uint8_t acc = 0;
+            for (int k = 0; k < 8; ++k)
+                acc |= (uint8_t)(((p[k] >= ith) & (v[k] == 0)) << (7 - k));
+            bits[b] = acc;
+        }
+    }
+    for (int64_t b = full; b < bytes; ++b) {
         uint8_t acc = 0;
         const int64_t base = b * 8;
-        const int64_t lim = (base + 8 < n) ? 8 : n - base;
+        const int64_t lim = n - base;
         for (int64_t k = 0; k < lim; ++k) {
             const int64_t i = base + k;
-            const bool c = ((float)u8[i] > fth) &&
+            const bool c = (u8[i] >= ith) &&
                            (vessel == nullptr || vessel[i] == 0);
             if (c) acc |= (uint8_t)(0x80u >> k);
         }
@@ -423,7 +501,31 @@ void lobe_bucket_bits_u8(const uint8_t* lobe, int D, int H, int W,
     const int64_t per = (int64_t)bd * bh * bw;
     const int64_t total = per * n_labels;
     const int64_t bytes = (total + 7) / 8;
-#pragma omp parallel for schedule(static)
+    if (bw % 8 == 0) {
+        // fast path (bucket dims are multiples of 16 in practice): every
+        // (l, z, y) row is byte-aligned — straight row-major bit packing,
+        // no per-bit index arithmetic
+        for (int l = 0; l < n_labels; ++l) {
+            const uint8_t lab = (uint8_t)(l + 1);
+            const int sz = starts[l * 3], sy = starts[l * 3 + 1],
+                      sx = starts[l * 3 + 2];
+            uint8_t* ob = bits + (int64_t)l * per / 8;
+            for (int z = 0; z < bd; ++z)
+                for (int y = 0; y < bh; ++y) {
+                    const uint8_t* src = lobe +
+                        ((int64_t)(sz + z) * H + (sy + y)) * W + sx;
+                    for (int xb = 0; xb < bw / 8; ++xb) {
+                        const uint8_t* p = src + xb * 8;
+                        *ob++ = (uint8_t)(
+                            ((p[0] == lab) << 7) | ((p[1] == lab) << 6) |
+                            ((p[2] == lab) << 5) | ((p[3] == lab) << 4) |
+                            ((p[4] == lab) << 3) | ((p[5] == lab) << 2) |
+                            ((p[6] == lab) << 1) | (p[7] == lab));
+                    }
+                }
+        }
+        return;
+    }
     for (int64_t b = 0; b < bytes; ++b) {
         uint8_t acc = 0;
         const int64_t base = b * 8;
