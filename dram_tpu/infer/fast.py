@@ -716,13 +716,14 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     from ..native import hostprep_native as hp
 
     spacing = np.asarray(spacing, np.float64)
-    iso_lobe = hp.resample_iso_labels(lobe_u8, spacing, iso_spacing)
-
-    # lung crop from one C++ bbox pass (union of per-lobe boxes), with
+    # lung crop from one C++ subgrid-bbox pass over the RAW lobe volume
+    # (identical to bboxing the materialized iso resample — same nearest
+    # axis tables — without building the full iso grid), with
     # data.hostprep.lung_crop's border/rounding semantics
-    mins, maxs = hp.lobe_bboxes(iso_lobe, n_lobes)
+    mins, maxs, iso_full_shape = hp.subgrid_bboxes(lobe_u8, spacing,
+                                                   iso_spacing, n_lobes)
     have = maxs[:, 0] >= mins[:, 0]
-    shape_arr = np.asarray(iso_lobe.shape, np.int64)
+    shape_arr = np.asarray(iso_full_shape, np.int64)
     if have.any():
         lo = np.maximum(mins[have].min(axis=0).astype(np.int64) - 8, 0)
         hi = np.minimum(maxs[have].max(axis=0).astype(np.int64) + 1 + 8,
@@ -733,10 +734,13 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     crop_lo = np.maximum(np.minimum(lo, shape_arr - size), 0)
     iso_shape = tuple(int(s) for s in size)
     # the scan is resampled only inside the crop window (the rest of the
-    # iso grid is never consumed by the chunk wire)
-    scan_c = hp.resample_window_int16(scan_int16, spacing, iso_spacing,
-                                      crop_lo, iso_shape, fill=pad_value)
-    lobe_c = hp.crop_copy(iso_lobe, crop_lo, iso_shape)
+    # iso grid is never consumed by the chunk wire); the windowed-u8 twin
+    # and Otsu histogram are emitted in the same pass
+    lobe_c = hp.resample_window_labels(lobe_u8, spacing, iso_spacing,
+                                       crop_lo, iso_shape)
+    scan_c, u8, hist = hp.resample_window_w8hist(
+        scan_int16, spacing, iso_spacing, crop_lo, iso_shape, lobe_c,
+        windowing_span, fill=pad_value)
 
     # per-lobe bboxes inside the crop (+border), python _bboxes semantics
     border_vox = int(np.ceil(crop_border_mm / iso_spacing))
@@ -764,7 +768,6 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
                                           lows[li], sizes[li],
                                           windowing_span, chunk_size)
 
-    u8, hist = hp.window8_hist(scan_c, lobe_c, windowing_span)
     th = otsu_threshold_from_hist(hist)
     nz = np.nonzero(hist)[0]
     if th is None:
@@ -776,8 +779,9 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
         th_u8 = min(th * 0.75, 255.0)
     vessel_c = None
     if vessel_u8 is not None and np.any(vessel_u8):
-        iso_vessel = hp.resample_iso_labels(vessel_u8, spacing, iso_spacing)
-        vessel_c = hp.crop_copy(iso_vessel, crop_lo, iso_shape)
+        vessel_c = hp.resample_window_labels(vessel_u8, spacing,
+                                             iso_spacing, crop_lo,
+                                             iso_shape)
     cand_bits = hp.cand_bits(u8, vessel_c, th_u8)
     lobe_bits = hp.lobe_bucket_bits(lobe_c, starts, bucket, n_lobes)
 

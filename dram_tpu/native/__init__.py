@@ -87,6 +87,24 @@ def _lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.resample_window_w8hist_i16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.subgrid_bboxes_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        lib.resample_window_nearest_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -122,6 +140,63 @@ class hostprep_native:
             float(scales[0]), float(scales[1]), float(scales[2]),
             *[int(v) for v in crop_lo],
             *[int(s) for s in crop_shape], float(fill), out.ctypes.data)
+        return out
+
+    @staticmethod
+    def resample_window_w8hist(scan, spacing, iso_spacing, crop_lo,
+                               crop_shape, lobe_c, span, fill=-2048):
+        """resample_window_int16 + window8_hist fused into one pass:
+        returns (scan_c i16, windowed u8 flat, lung-masked 256-bin hist),
+        bit-identical to the two-pass sequence."""
+        scan = np.ascontiguousarray(scan, np.int16)
+        lobe_c = np.ascontiguousarray(lobe_c, np.uint8)
+        spacing = np.asarray(spacing, np.float64)
+        scales = iso_spacing / spacing
+        out = np.empty(tuple(int(s) for s in crop_shape), np.int16)
+        u8 = np.empty(out.size, np.uint8)
+        hist = np.empty(256, np.int64)
+        _lib().resample_window_w8hist_i16(
+            scan.ctypes.data, *[int(s) for s in scan.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(v) for v in crop_lo],
+            *[int(s) for s in crop_shape], float(fill),
+            float(span[0]), float(span[1]), lobe_c.ctypes.data,
+            out.ctypes.data, u8.ctypes.data, hist.ctypes.data)
+        return out, u8, hist
+
+    @staticmethod
+    def subgrid_bboxes(lobe, spacing, iso_spacing, n_labels):
+        """Per-label bboxes of the iso nearest-resampled lobe volume,
+        computed on the sampled subgrid without materializing it —
+        identical to lobe_bboxes(resample_iso_labels(lobe, ...))."""
+        lobe = np.ascontiguousarray(lobe, np.uint8)
+        spacing = np.asarray(spacing, np.float64)
+        scales = iso_spacing / spacing
+        out_shape = tuple(int(np.ceil(s / sc))
+                          for s, sc in zip(lobe.shape, scales))
+        mins = np.empty((n_labels, 3), np.int32)
+        maxs = np.empty((n_labels, 3), np.int32)
+        _lib().subgrid_bboxes_u8(
+            lobe.ctypes.data, *[int(s) for s in lobe.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(s) for s in out_shape], int(n_labels),
+            mins.ctypes.data, maxs.ctypes.data)
+        return mins, maxs, out_shape
+
+    @staticmethod
+    def resample_window_labels(lobe, spacing, iso_spacing, crop_lo,
+                               crop_shape):
+        """Nearest label resample emitted only inside the crop window —
+        identical to resample_iso_labels(...)[crop]."""
+        lobe = np.ascontiguousarray(lobe, np.uint8)
+        spacing = np.asarray(spacing, np.float64)
+        scales = iso_spacing / spacing
+        out = np.empty(tuple(int(s) for s in crop_shape), np.uint8)
+        _lib().resample_window_nearest_u8(
+            lobe.ctypes.data, *[int(s) for s in lobe.shape],
+            float(scales[0]), float(scales[1]), float(scales[2]),
+            *[int(v) for v in crop_lo],
+            *[int(s) for s in crop_shape], out.ctypes.data)
         return out
 
     @staticmethod

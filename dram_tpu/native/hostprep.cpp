@@ -107,12 +107,15 @@ void build_plane(const T* in, int64_t HW, int W, int zi,
 
 // Shared trilinear resample: plane-cached separable evaluation, serial z
 // (the deploy host has one core; the z-plane cache depends on in-order
-// traversal). ROUND selects int16 rounding vs raw float stores.
-template <typename T, bool ROUND>
+// traversal). ROUND selects int16 rounding vs raw float stores. EPI is a
+// per-output-row epilogue (row pointer + flat row index) run while the
+// row is still cache-hot — the w8+hist wire fuses there.
+template <typename T, bool ROUND, typename EPI>
 void resample_linear_impl(const T* in, int D, int H, int W,
                           double sz, double sy, double sx,
                           int offz, int offy, int offx,
-                          int oD, int oH, int oW, double fill, T* out) {
+                          int oD, int oH, int oW, double fill, T* out,
+                          EPI epi) {
     AxisTable tz = make_axis(D, oD, sz, false, offz);
     AxisTable ty = make_axis(H, oH, sy, false, offy);
     AxisTable tx = make_axis(W, oW, sx, false, offx);
@@ -134,7 +137,11 @@ void resample_linear_impl(const T* in, int D, int H, int W,
     for (int z = 0; z < oD; ++z) {
         T* orow = out + (int64_t)z * oHW;
         if (!tz.valid[z]) {
-            for (int64_t i = 0; i < oHW; ++i) orow[i] = tfill;
+            for (int y = 0; y < oH; ++y) {
+                T* op = orow + (int64_t)y * oW;
+                for (int x = 0; x < oW; ++x) op[x] = tfill;
+                epi(op, (int64_t)z * oH + y);
+            }
             continue;
         }
         const int z0 = tz.lo[z], z1 = tz.hi[z];
@@ -165,6 +172,7 @@ void resample_linear_impl(const T* in, int D, int H, int W,
             T* op = orow + (int64_t)y * oW;
             if (y < ya || y >= yb) {
                 for (int x = 0; x < oW; ++x) op[x] = tfill;
+                epi(op, (int64_t)z * oH + y);
                 continue;
             }
             for (int x = 0; x < xa; ++x) op[x] = tfill;
@@ -178,9 +186,15 @@ void resample_linear_impl(const T* in, int D, int H, int W,
                     op[x] = (T)(a[x] + fz * (b[x] - a[x]));
             }
             for (int x = xb; x < oW; ++x) op[x] = tfill;
+            epi(op, (int64_t)z * oH + y);
         }
     }
 }
+
+struct NoEpi {
+    template <typename T>
+    void operator()(const T*, int64_t) const {}
+};
 
 }  // namespace
 
@@ -192,7 +206,7 @@ void resample_iso_linear_i16(const int16_t* in, int D, int H, int W,
                              int oD, int oH, int oW,
                              double fill, int16_t* out) {
     resample_linear_impl<int16_t, true>(in, D, H, W, sz, sy, sx, 0, 0, 0,
-                                        oD, oH, oW, fill, out);
+                                        oD, oH, oW, fill, out, NoEpi());
 }
 
 // Window variant: emits only the output block starting at (offz, offy,
@@ -205,7 +219,7 @@ void resample_window_linear_i16(const int16_t* in, int D, int H, int W,
                                 double fill, int16_t* out) {
     resample_linear_impl<int16_t, true>(in, D, H, W, sz, sy, sx,
                                         offz, offy, offx,
-                                        oD, oH, oW, fill, out);
+                                        oD, oH, oW, fill, out, NoEpi());
 }
 
 // Trilinear resample float32 -> float32 (windowed images in the host
@@ -215,7 +229,118 @@ void resample_iso_linear_f32(const float* in, int D, int H, int W,
                              int oD, int oH, int oW,
                              double fill, float* out) {
     resample_linear_impl<float, false>(in, D, H, W, sz, sy, sx, 0, 0, 0,
-                                       oD, oH, oW, fill, out);
+                                       oD, oH, oW, fill, out, NoEpi());
+}
+
+void window8_hist_i16(const int16_t* scan, const uint8_t* lobe, int64_t n,
+                      double w_lo, double w_hi, uint8_t* u8_out,
+                      int64_t* hist256);  // defined below
+
+// Fused window-resample + u8 windowing + lung-masked histogram: one pass
+// emits the cropped iso scan (i16), its windowed-u8 twin and the 256-bin
+// Otsu histogram, replacing a separate full re-read of the crop
+// (window8_hist). Outputs are bit-identical to the two-pass sequence:
+// the u8 LUT is indexed by the already-rounded i16 value.
+void resample_window_w8hist_i16(const int16_t* in, int D, int H, int W,
+                                double sz, double sy, double sx,
+                                int offz, int offy, int offx,
+                                int oD, int oH, int oW,
+                                double fill, double w_lo, double w_hi,
+                                const uint8_t* lobe_c, int16_t* out,
+                                uint8_t* u8_out, int64_t* hist256) {
+    const float inv = (float)(255.0 / (w_hi - w_lo));
+    const float flo = (float)w_lo, fhi = (float)w_hi;
+    std::vector<uint8_t> lut(65536);
+    for (int v16 = -32768; v16 < 32768; ++v16) {
+        float v = (float)v16;
+        if (v < flo) v = flo;
+        if (v > fhi) v = fhi;
+        lut[(uint16_t)(int16_t)v16] =
+            (uint8_t)std::nearbyintf((v - flo) * inv);
+    }
+    std::memset(hist256, 0, 256 * sizeof(int64_t));
+    const uint8_t* lutp = lut.data();
+    auto epi = [=](const int16_t* row, int64_t ri) {
+        uint8_t* u8row = u8_out + ri * oW;
+        const uint8_t* lrow = lobe_c + ri * oW;
+        for (int x = 0; x < oW; ++x) {
+            const uint8_t u = lutp[(uint16_t)row[x]];
+            u8row[x] = u;
+            hist256[u] += (int64_t)(lrow[x] > 0);
+        }
+    };
+    resample_linear_impl<int16_t, true>(in, D, H, W, sz, sy, sx,
+                                        offz, offy, offx,
+                                        oD, oH, oW, fill, out, epi);
+}
+
+// Per-label bbox over the nearest-sampled iso subgrid WITHOUT
+// materializing the resampled volume: bbox(subgrid) == bbox of
+// resample_iso_nearest_u8's output by construction (same axis tables).
+void subgrid_bboxes_u8(const uint8_t* lobe, int D, int H, int W,
+                       double sz, double sy, double sx,
+                       int oD, int oH, int oW,
+                       int n_labels, int32_t* mins, int32_t* maxs) {
+    AxisTable tz = make_axis(D, oD, sz, true);
+    AxisTable ty = make_axis(H, oH, sy, true);
+    AxisTable tx = make_axis(W, oW, sx, true);
+    for (int l = 0; l < n_labels; ++l)
+        for (int ax = 0; ax < 3; ++ax) {
+            mins[l * 3 + ax] = INT32_MAX;
+            maxs[l * 3 + ax] = -1;
+        }
+    const int64_t HW = (int64_t)H * W;
+    for (int z = 0; z < oD; ++z) {
+        if (!tz.valid[z]) continue;
+        const uint8_t* plane = lobe + (int64_t)tz.lo[z] * HW;
+        for (int y = 0; y < oH; ++y) {
+            if (!ty.valid[y]) continue;
+            const uint8_t* row = plane + (int64_t)ty.lo[y] * W;
+            for (int x = 0; x < oW; ++x) {
+                const int l =
+                    (tx.valid[x] ? row[tx.lo[x]] : 0) - 1;
+                if (l < 0 || l >= n_labels) continue;
+                int32_t* mn = mins + l * 3;
+                int32_t* mx = maxs + l * 3;
+                if (z < mn[0]) mn[0] = z;
+                if (z > mx[0]) mx[0] = z;
+                if (y < mn[1]) mn[1] = y;
+                if (y > mx[1]) mx[1] = y;
+                if (x < mn[2]) mn[2] = x;
+                if (x > mx[2]) mx[2] = x;
+            }
+        }
+    }
+}
+
+// Windowed nearest resample u8 -> u8 (labels inside the lung crop only).
+void resample_window_nearest_u8(const uint8_t* in, int D, int H, int W,
+                                double sz, double sy, double sx,
+                                int offz, int offy, int offx,
+                                int oD, int oH, int oW, uint8_t* out) {
+    AxisTable tz = make_axis(D, oD, sz, true, offz);
+    AxisTable ty = make_axis(H, oH, sy, true, offy);
+    AxisTable tx = make_axis(W, oW, sx, true, offx);
+    const int64_t HW = (int64_t)H * W;
+    const int64_t oHW = (int64_t)oH * oW;
+    for (int z = 0; z < oD; ++z) {
+        uint8_t* orow = out + (int64_t)z * oHW;
+        if (!tz.valid[z]) {
+            std::memset(orow, 0, oHW);
+            continue;
+        }
+        const uint8_t* slab = in + (int64_t)tz.lo[z] * HW;
+        for (int y = 0; y < oH; ++y) {
+            uint8_t* op = orow + (int64_t)y * oW;
+            if (!ty.valid[y]) {
+                std::memset(op, 0, oW);
+                continue;
+            }
+            const uint8_t* row = slab + (int64_t)ty.lo[y] * W;
+            for (int x = 0; x < oW; ++x)
+                op[x] = tx.valid[x] ? row[tx.lo[x]] : 0;
+        }
+    }
 }
 
 // Nearest resample uint8 -> uint8 (labels), 0 outside.

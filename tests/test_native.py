@@ -102,6 +102,50 @@ class TestNativeHostprep:
         assert a["intensity_threshold"] == pytest.approx(
             b["intensity_threshold"])
 
+    def test_subgrid_bboxes_match_materialized(self, rng):
+        """Bboxing the raw volume on the sampled subgrid == bboxing the
+        materialized nearest resample (same axis tables)."""
+        lobe = np.zeros((40, 52, 48), np.uint8)
+        lobe[3:17, 10:30, 6:20] = 1
+        lobe[20:33, 25:50, 22:47] = 3
+        spacing = (1.6, 0.8, 0.9)
+        iso = hp_cc.resample_iso_labels(lobe, spacing, 1.0)
+        want_mins, want_maxs = hp_cc.lobe_bboxes(iso, 5)
+        mins, maxs, shape = hp_cc.subgrid_bboxes(lobe, spacing, 1.0, 5)
+        assert tuple(shape) == iso.shape
+        np.testing.assert_array_equal(mins, want_mins)
+        np.testing.assert_array_equal(maxs, want_maxs)
+
+    def test_window_labels_match_crop(self, rng):
+        lobe = rng.integers(0, 6, (40, 52, 48)).astype(np.uint8)
+        spacing = (1.6, 0.8, 0.9)
+        iso = hp_cc.resample_iso_labels(lobe, spacing, 1.0)
+        lo, size = (5, 7, 3), (30, 20, 24)
+        got = hp_cc.resample_window_labels(lobe, spacing, 1.0, lo, size)
+        want = iso[5:35, 7:27, 3:27]
+        np.testing.assert_array_equal(got, want)
+
+    def test_window_w8hist_matches_two_pass(self, rng):
+        scan = rng.integers(-1400, 400, (40, 52, 48)).astype(np.int16)
+        lobe = rng.integers(0, 6, (40, 52, 48)).astype(np.uint8)
+        spacing = (1.6, 0.8, 0.9)
+        span = (-1000, -700)
+        lo, size = (2, 4, 6), (40, 30, 28)
+        lobe_c = hp_cc.resample_window_labels(lobe, spacing, 1.0, lo, size)
+        want_scan = hp_cc.resample_window_int16(scan, spacing, 1.0, lo,
+                                                size, fill=-2048)
+        want_u8, want_hist = hp_cc.window8_hist(want_scan, lobe_c, span)
+        got_scan, got_u8, got_hist = hp_cc.resample_window_w8hist(
+            scan, spacing, 1.0, lo, size, lobe_c, span, fill=-2048)
+        np.testing.assert_array_equal(got_scan, want_scan)
+        np.testing.assert_array_equal(got_u8, want_u8)
+        np.testing.assert_array_equal(got_hist, want_hist)
+
+    def test_crop_copy_matches_slice(self, rng):
+        vol = rng.integers(0, 256, (30, 40, 50)).astype(np.uint8)
+        got = hp_cc.crop_copy(vol, (3, 5, 7), (20, 30, 40))
+        np.testing.assert_array_equal(got, vol[3:23, 5:35, 7:47])
+
     def test_chunk_prep_native_empty_lung(self):
         from dram_tpu.infer.fast import _prep_scan_chunks_native
         rng = np.random.default_rng(12)
