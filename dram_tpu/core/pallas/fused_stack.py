@@ -48,12 +48,74 @@ def _lane_valid(HW, M):
     return (i < HW).astype(jnp.float32)
 
 
+def _slab_dma(x_hbm, slab2, sems, b, z, *, BD, D, start):
+    """Start or wait the clamped z-halo copy of block (b, z) into the
+    double buffer slab2[z % 2].
+
+    slab2: (2, BD+2, C, M) scratch, sems: (2,) DMA semaphores. Source rows
+    [z0-1, z0+BD+1) clamped to [0, D); out-of-volume buffer rows are
+    masked at patch-build time, so their contents are don't-care. The
+    kernels prefetch block z+1 while computing block z — without this the
+    grid pays DMA + compute serially (measured ~20% of the big-layer conv
+    time at 80^3/192ch)."""
+    z0 = z * BD
+    nz = D // BD
+    first = z == 0
+    last = z == nz - 1
+    i = jax.lax.rem(z, 2)
+
+    def run(cp):
+        cp.start() if start else cp.wait()
+
+    if D >= BD + 2:  # an interior block exists (or the slice at least fits)
+        @pl.when(jnp.logical_and(jnp.logical_not(first),
+                                 jnp.logical_not(last)))
+        def _():
+            run(pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 2)],
+                                      slab2.at[i], sems.at[i]))
+    if D > BD:  # branches only reachable with >1 z block
+        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
+        def _():
+            run(pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD + 1)],
+                                      slab2.at[i, pl.ds(1, BD + 1)],
+                                      sems.at[i]))
+
+        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
+        def _():
+            run(pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 1)],
+                                      slab2.at[i, pl.ds(0, BD + 1)],
+                                      sems.at[i]))
+    else:
+        @pl.when(jnp.logical_and(first, last))
+        def _():
+            run(pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD)],
+                                      slab2.at[i, pl.ds(1, BD)], sems.at[i]))
+
+
+def _slab_prefetch_wait(x_hbm, slab2, sems, b, z, *, BD, D):
+    """Double-buffer step: ensure block z's copy is in flight, start block
+    z+1's, wait for z's. Returns the buffer index holding block z."""
+    nz = D // BD
+
+    @pl.when(z == 0)
+    def _():
+        _slab_dma(x_hbm, slab2, sems, b, 0, BD=BD, D=D, start=True)
+
+    if nz > 1:
+        @pl.when(z + 1 < nz)
+        def _():
+            _slab_dma(x_hbm, slab2, sems, b, z + 1, BD=BD, D=D, start=True)
+    _slab_dma(x_hbm, slab2, sems, b, z, BD=BD, D=D, start=False)
+    return jax.lax.rem(z, 2)
+
+
 def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
-                acc, patch, slab, sem, *, H, W, M, Ci, Co, BD, D,
+                acc, patch, slab2, sems, *, H, W, M, Ci, Co, BD, D,
                 prologue, stats):
     """Conv with optional affine+relu prologue and stats epilogue.
 
-    x_hbm: (B, D, Ci, M) — NOT z-padded; the halo is DMA'd clamped and
+    x_hbm: (B, D, Ci, M) — NOT z-padded; the halo is DMA'd clamped
+    (double-buffered: block z+1 streams while block z computes) and
     out-of-volume rows are masked during patch build.
     w_ref: (3, 3*Co, 3*Ci) — dz-major, the dy=-1/0/+1 weight planes
     STACKED on the output dim so each MXU dot writes 3*Co rows (Co=64
@@ -65,44 +127,9 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
     otherwise via the pallas_call output list).
     """
     b, z = pl.program_id(0), pl.program_id(1)
-    nz = pl.num_programs(1)
     z0 = z * BD
 
-    first = z == 0
-    last = z == nz - 1
-
-    # every slice below must fit the (B, D, C, M) operand STATICALLY, so
-    # branches are emitted only when their block count makes them reachable
-    if D >= BD + 2:  # an interior block exists (or the slice at least fits)
-        @pl.when(jnp.logical_and(jnp.logical_not(first),
-                                 jnp.logical_not(last)))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 2)],
-                                       slab, sem)
-            cp.start()
-            cp.wait()
-
-    if D > BD:  # branches only reachable with >1 z block
-        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD + 1)],
-                                       slab.at[pl.ds(1, BD + 1)], sem)
-            cp.start()
-            cp.wait()
-
-        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 1)],
-                                       slab.at[pl.ds(0, BD + 1)], sem)
-            cp.start()
-            cp.wait()
-    else:
-        @pl.when(jnp.logical_and(first, last))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD)],
-                                       slab.at[pl.ds(1, BD)], sem)
-            cp.start()
-            cp.wait()
+    buf = _slab_prefetch_wait(x_hbm, slab2, sems, b, z, BD=BD, D=D)
 
     w = w_ref[:]  # (3, 3*Co, 3*Ci)
     if prologue:
@@ -111,11 +138,11 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
 
     # patch rows: prologue affine+relu, z-validity mask (0 outside volume)
     for r in range(BD + 2):
-        row = slab[r]
+        row = slab2[buf, r]
         if prologue:
             row = jnp.maximum(
                 row.astype(jnp.float32) * s[:, None] + t[:, None], 0.0
-            ).astype(slab.dtype)
+            ).astype(slab2.dtype)
         zvalid = jnp.logical_and(z0 - 1 + r >= 0, z0 - 1 + r < D)
         row = jnp.where(zvalid, row, jnp.zeros_like(row))
         for k, dx in enumerate((-1, 0, 1)):
@@ -149,53 +176,35 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
             stats_ref[1] += jnp.sum(ov * o, axis=1)
 
 
-def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb, slab,
+def _dy_dma(dy_hbm, dyb2, semd, b, z, *, BD, start):
+    """Start/wait the (halo-free) dy block copy into dyb2[z % 2]."""
+    i = jax.lax.rem(z, 2)
+    cp = pltpu.make_async_copy(dy_hbm.at[b, pl.ds(z * BD, BD)],
+                               dyb2.at[i], semd.at[i])
+    cp.start() if start else cp.wait()
+
+
+def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb2, slab2,
                    sems, semd, *, H, W, M, Ci, Co, BD, D, prologue):
     """dW with the x side streamed through the same optional prologue
     (recomputes the normalized activation instead of materializing it);
-    x_hbm is NOT z-padded (same clamped-halo DMA as _cbr_kernel)."""
+    x_hbm is NOT z-padded (same double-buffered clamped-halo DMA as
+    _cbr_kernel; dy is double-buffered too)."""
     b, z = pl.program_id(0), pl.program_id(1)
     nz = pl.num_programs(1)
     z0 = z * BD
 
-    first = z == 0
-    last = z == nz - 1
+    @pl.when(z == 0)
+    def _():
+        _dy_dma(dy_hbm, dyb2, semd, b, 0, BD=BD, start=True)
 
-    cp2 = pltpu.make_async_copy(dy_hbm.at[b, pl.ds(z0, BD)], dyb, semd)
-    cp2.start()
-
-    if D >= BD + 2:
-        @pl.when(jnp.logical_and(jnp.logical_not(first),
-                                 jnp.logical_not(last)))
+    if nz > 1:
+        @pl.when(z + 1 < nz)
         def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 2)],
-                                       slab, sems)
-            cp.start()
-            cp.wait()
+            _dy_dma(dy_hbm, dyb2, semd, b, z + 1, BD=BD, start=True)
 
-    if D > BD:
-        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD + 1)],
-                                       slab.at[pl.ds(1, BD + 1)], sems)
-            cp.start()
-            cp.wait()
-
-        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(z0 - 1, BD + 1)],
-                                       slab.at[pl.ds(0, BD + 1)], sems)
-            cp.start()
-            cp.wait()
-    else:
-        @pl.when(jnp.logical_and(first, last))
-        def _():
-            cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(0, BD)],
-                                       slab.at[pl.ds(1, BD)], sems)
-            cp.start()
-            cp.wait()
-
-    cp2.wait()
+    buf = _slab_prefetch_wait(x_hbm, slab2, sems, b, z, BD=BD, D=D)
+    _dy_dma(dy_hbm, dyb2, semd, b, z, BD=BD, start=False)
 
     @pl.when(jnp.logical_and(b == 0, z == 0))
     def _():
@@ -206,11 +215,11 @@ def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb, slab,
         t = b_ref[0].astype(jnp.float32)
 
     for r in range(BD + 2):
-        row = slab[r]
+        row = slab2[buf, r]
         if prologue:
             row = jnp.maximum(
                 row.astype(jnp.float32) * s[:, None] + t[:, None], 0.0
-            ).astype(slab.dtype)
+            ).astype(slab2.dtype)
         zvalid = jnp.logical_and(z0 - 1 + r >= 0, z0 - 1 + r < D)
         row = jnp.where(zvalid, row, jnp.zeros_like(row))
         for k, dx in enumerate((-1, 0, 1)):
@@ -221,14 +230,15 @@ def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb, slab,
     # z-padded wire, dout's pad lanes are NOT guaranteed zero here (the
     # BN backward writes garbage there), and _plane_valid's iy>=H trick
     # admits the first pad row for dy=-1
-    lane_v = _lane_valid(H * W, M).astype(dyb.dtype)
+    lane_v = _lane_valid(H * W, M).astype(dyb2.dtype)
     for r in range(BD):
         # stack the 3 dy-shifted cotangent planes on the dot's output dim
         # (one (3Ci, M)x(3Co, M) MXU dot per dz instead of three Co-wide
         # ones); dw_ref rows follow the same (dz, dx*Ci, dy*Co) layout
         dyr3 = jnp.concatenate([
             _roll_lanes(
-                dyb[r] * lane_v * _plane_valid(H, W, M, dy_, 0, dyb.dtype),
+                dyb2[buf, r] * lane_v
+                * _plane_valid(H, W, M, dy_, 0, dyb2.dtype),
                 -dy_ * W)
             for dy_ in (-1, 0, 1)], axis=0)  # (3*Co, M)
         for dzi in range(3):
@@ -267,11 +277,11 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
     B, Ci, M = x_cm.shape[0], x_cm.shape[2], x_cm.shape[3]
     Co = wk.shape[1] // 3  # wk rows are the 3 dy-stacked output planes
 
-    # full VMEM budget: slab + patch rows, f32 accumulator, and the
-    # DOUBLE-buffered output window (dominant when Co is large, e.g. the
-    # dx conv of a 192-channel layer: 2*BD*192*M*4 B)
+    # full VMEM budget: double-buffered slab + patch rows, f32
+    # accumulator, and the DOUBLE-buffered output window (dominant when
+    # Co is large, e.g. the dx conv of a 192-channel layer: 2*BD*192*M*4 B)
     it = x_cm.dtype.itemsize
-    row_bytes = 4 * Ci * M * it          # slab (Ci) + patch (3*Ci)
+    row_bytes = 5 * Ci * M * it          # slab (2*Ci) + patch (3*Ci)
     out_bytes = Co * M * it              # output window, 2 buffer levels
     acc_bytes = 3 * Co * M * 4           # dy-stacked accumulator
     budget = 80 * 1024 * 1024
@@ -287,9 +297,9 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
         kernel = functools.partial(_cbr_kernel, **kw)
     else:
         def kernel(w_ref, s_ref, b_ref, x_hbm, out_ref,
-                   acc, patch, slab, sem):
+                   acc, patch, slab2, sems):
             _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, None,
-                        acc, patch, slab, sem, **kw)
+                        acc, patch, slab2, sems, **kw)
     out_shapes = [jax.ShapeDtypeStruct((B, D, Co, M), x_cm.dtype)]
     out_specs = [pl.BlockSpec((None, BD, Co, M), lambda b_, z: (b_, z, 0, 0))]
     if stats:
@@ -309,8 +319,8 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((3 * Co, M), jnp.float32),
             pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
-            pltpu.VMEM((BD + 2, Ci, M), x_cm.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, BD + 2, Ci, M), x_cm.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -325,9 +335,9 @@ def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
     """dW from kernel-layout x (through the optional prologue) and dy."""
     B, _, Ci, M = x_cm.shape
     Co = dy_cm.shape[2]
-    per_row = (4 * Ci + Co) * M * x_cm.dtype.itemsize
+    per_row = (5 * Ci + 2 * Co) * M * x_cm.dtype.itemsize
     dw_bytes = 9 * 3 * Ci * Co * 4
-    BD = int(max(1, min(8, (44 * 1024 * 1024 - dw_bytes) // per_row - 2)))
+    BD = int(max(1, min(8, (80 * 1024 * 1024 - dw_bytes) // per_row - 2)))
     while D % BD:
         BD -= 1
     kernel = functools.partial(_dw_kernel_pro, H=H, W=W, M=M, Ci=Ci, Co=Co,
@@ -346,10 +356,10 @@ def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
         out_shape=jax.ShapeDtypeStruct((3, 3 * Ci, 3 * Co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
-            pltpu.VMEM((BD, Co, M), dy_cm.dtype),
-            pltpu.VMEM((BD + 2, Ci, M), x_cm.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, BD, Co, M), dy_cm.dtype),
+            pltpu.VMEM((2, BD + 2, Ci, M), x_cm.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -56,6 +56,33 @@ class TestBoundaryOps:
                                    np.asarray(jax.grad(f_nd)(x)),
                                    atol=1e-6)
 
+    def test_maxpool2_pallas_matches_xla(self, rng):
+        """Pallas pool kernel (interpret) == maxpool2_cm forward AND
+        gradient, including the even tie-split (duplicate values in a
+        window, common after ReLU zeros)."""
+        from dram_tpu.core.pallas.pool import (maxpool2_cm_pallas,
+                                               pool_supported)
+        B, D, H, W, C = 2, 4, 6, 64, 5
+        assert pool_supported(D, H, W)
+        x = _rand(rng, (B, D, H, W, C))
+        # force ties inside pooling windows
+        x = x.at[:, :, ::2].set(x[:, :, 1::2])
+        cm = to_cm_t(x)
+
+        def f_pallas(data):
+            out = maxpool2_cm_pallas(data, H, W, D, True)
+            return as_ndhwc(CM(out, H // 2, W // 2))
+
+        def f_xla(data):
+            return as_ndhwc(maxpool2_cm(CM(data, H, W)))
+
+        np.testing.assert_array_equal(np.asarray(f_pallas(cm.data)),
+                                      np.asarray(f_xla(cm.data)))
+        g_p = jax.grad(lambda d: jnp.sum(f_pallas(d) ** 2))(cm.data)
+        g_x = jax.grad(lambda d: jnp.sum(f_xla(d) ** 2))(cm.data)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   atol=1e-6)
+
     @pytest.mark.parametrize("out_dhw", [(8, 12, 20), (3, 4, 5), (4, 6, 10)])
     def test_resize(self, rng, out_dhw):
         x = _rand(rng, (2, 4, 6, 10, 3))

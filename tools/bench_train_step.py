@@ -118,7 +118,8 @@ def main():
     t0 = time.perf_counter()
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, key)
-    jax.block_until_ready(loss)
+    float(loss)  # real D2H — block_until_ready can return early on the
+    # tunneled backend (see .claude/skills/verify)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
     if args.profile:
@@ -134,7 +135,7 @@ def main():
         t0 = time.perf_counter()
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(i))
-        jax.block_until_ready(loss)
+        float(loss)  # force D2H; dependency chain makes this the step time
         times.append(time.perf_counter() - t0)
     ms = np.median(times) * 1e3
     print(f"model={args.model} pallas_conv={args.pallas_conv} "

@@ -206,6 +206,40 @@ def check_fused_stack():
     return ok
 
 
+def check_pool():
+    """Pallas 2x2x2 max-pool vs the XLA cm pool at the production 80^3
+    encoder shape — forward and gradient must be bit-identical (even
+    tie-split semantics)."""
+    import time
+
+    from dram_tpu.core.pallas.cm import CM, maxpool2_cm
+    from dram_tpu.core.pallas.pool import maxpool2_cm_pallas
+
+    B, D, H, W, C = 10, 80, 80, 80, 64
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, D, C, H * W)), jnp.bfloat16)
+    HW2 = (H // 2) * (W // 2)
+
+    def f_p(d):
+        return maxpool2_cm_pallas(d, H, W, D)[..., :HW2]
+
+    def f_x(d):
+        return maxpool2_cm(CM(d, H, W)).data[..., :HW2]
+
+    t0 = time.time()
+    got = jax.jit(f_p)(x)
+    jax.block_until_ready(got)
+    print(f"pool fwd (pallas) compiled+ran in {time.time() - t0:.1f}s")
+    ok = _report("pool fwd 80^3 C=64", got, jax.jit(f_x)(x),
+                 atol=0.0, rtol=0.0)
+    gp = jax.jit(jax.grad(lambda d: jnp.sum(f_p(d).astype(jnp.float32)
+                                            ** 2)))(x)
+    gx = jax.jit(jax.grad(lambda d: jnp.sum(f_x(d).astype(jnp.float32)
+                                            ** 2)))(x)
+    ok &= _report("pool grad 80^3 C=64", gp, gx, atol=0.0, rtol=0.0)
+    return ok
+
+
 def main():
     from dram_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -217,6 +251,7 @@ def main():
     ok = check_attention()
     ok &= check_conv3d()
     ok &= check_fused_stack()
+    ok &= check_pool()
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 
