@@ -544,12 +544,18 @@ _fused_cbr2_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 def fused_stack_supported(x_shape, features, kernel_sizes, paddings,
                           strides, norm_method, act_method, dropout):
-    """The fused chain covers exactly the DC3D stack configuration."""
+    """The fused chain covers exactly the DC3D stack configuration.
+
+    Channel counts below the kernel's sublane floor (the Ci=1 network
+    entry) are accepted: the caller zero-pads input channels to 8
+    (blocks.py ConvStack._fused) — zeros contribute nothing to the
+    convolution."""
     if len(features) != 2 or norm_method != "bn" or act_method != "relu" \
             or dropout > 0:
         return False
+    shape8 = tuple(x_shape[:-1]) + (max(int(x_shape[-1]), 8),)
     for k, p, s in zip(kernel_sizes, paddings, strides):
-        if not supported(x_shape, (k, k, k), (s, s, s),
+        if not supported(shape8, (k, k, k), (s, s, s),
                          ((p, p), (p, p), (p, p))):
             return False
     return True

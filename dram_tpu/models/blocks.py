@@ -221,6 +221,14 @@ class ConvStack(nn.Module):
         g0, b0, m0, v0 = _BNState(f0, name="BatchNorm_0")()
         w1 = _ConvKernel((3, 3, 3, f0, f1), name="conv_1")()
         g1, b1, m1, v1 = _BNState(f1, name="BatchNorm_1")()
+        if ci < 8 and not isinstance(x, CM):
+            # network-entry stack (Ci=1): zero-pad input channels to the
+            # kernel's sublane floor so the WHOLE stack runs fused (the
+            # XLA first conv costs ~19 ms/step in NDHWC copies + BN
+            # passes; zeros contribute nothing to the conv and jnp.pad
+            # backprops as a slice)
+            x = jnp.pad(x, [(0, 0)] * 4 + [(0, 8 - ci)])
+            w0 = jnp.pad(w0, [(0, 0)] * 3 + [(0, 8 - ci), (0, 0)])
         y, (nm0, nv0, nm1, nv1) = chain_fn(
             x, w0, g0, b0, m0.value, v0.value,
             w1, g1, b1, m1.value, v1.value,

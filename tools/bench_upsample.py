@@ -70,19 +70,35 @@ def v_gemm(cm, skip):
     return concat_cm([up, skip]).data
 
 
-def bench(fn, cm, skip, steps=10):
-    def loss(c_data, s_data):
-        out = fn(CM(c_data, H, W), CM(s_data, 2 * H, 2 * W))
-        return jnp.sum(out.astype(jnp.float32) ** 2)
+def bench(fn, cm, skip):
+    """Per-iteration time via an in-jit scan (the tunneled backend's
+    dispatch overhead and lazy block_until_ready make per-call timing
+    meaningless)."""
+    def run(iters):
+        def body(c, _):
+            g = jax.grad(lambda cd: jnp.sum(
+                fn(CM(cd, H, W), skip).astype(jnp.float32) ** 2))(c)
+            return c + 1e-12 * g.astype(c.dtype), None
 
-    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-    r = g(cm.data, skip.data)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        r = g(cm.data, skip.data)
-        jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / steps * 1e3
+        @jax.jit
+        def loop(c, skip_data):
+            c, _ = jax.lax.scan(
+                lambda cc, _: ((cc + 1e-12 * jax.grad(lambda cd: jnp.sum(
+                    fn(CM(cd, H, W), CM(skip_data, 2 * H, 2 * W))
+                    .astype(jnp.float32) ** 2))(cc).astype(cc.dtype)), None),
+                c, None, length=iters)
+            return jnp.sum(c.astype(jnp.float32))
+
+        float(loop(cm.data, skip.data))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(loop(cm.data, skip.data))
+            ts.append(time.perf_counter() - t0)
+        return np.median(ts) * 1e3
+
+    t1, t11 = run(1), run(11)
+    return (t11 - t1) / 10
 
 
 def main():
