@@ -170,8 +170,18 @@ def _mp_bwd_kernel(x_hbm, dp_hbm, dx_ref, slab2, dpb2, sems, semd, *,
 
 def pool_supported(D, H, W):
     """Even dims; W >= 64 keeps the 128-lane vreg waste of the 5-D plane
-    form tolerable (only the 80^3 DC3D layer qualifies — it is ~85% of
-    the measured pool cost)."""
+    form tolerable (only the 80^3 DC3D layer qualifies).
+
+    OFF by default (DRAM_PALLAS_POOL=1 enables): measured END-TO-END the
+    kernel loses to the XLA cm pool — its in-kernel compaction dots plus
+    the flat<->5-D boundary relayouts cost ~24 ms/step vs ~19 ms for the
+    XLA reduce-max path (bs10 DC3DATGeneric step: 413 ms with XLA pool,
+    421 ms with the kernel), even though the kernel wins the standalone
+    microbenchmark. Kept (bit-exact, tested) as the base for a future
+    flat-layout rewrite."""
+    import os
+    if os.environ.get("DRAM_PALLAS_POOL", "0") != "1":
+        return False
     return D % 2 == 0 and H % 2 == 0 and W % 2 == 0 and W >= 64
 
 

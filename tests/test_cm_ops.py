@@ -60,10 +60,16 @@ class TestBoundaryOps:
         """Pallas pool kernel (interpret) == maxpool2_cm forward AND
         gradient, including the even tie-split (duplicate values in a
         window, common after ReLU zeros)."""
+        import os
+
         from dram_tpu.core.pallas.pool import (maxpool2_cm_pallas,
                                                pool_supported)
         B, D, H, W, C = 2, 4, 6, 64, 5
-        assert pool_supported(D, H, W)
+        os.environ["DRAM_PALLAS_POOL"] = "1"
+        try:
+            assert pool_supported(D, H, W)
+        finally:
+            del os.environ["DRAM_PALLAS_POOL"]
         x = _rand(rng, (B, D, H, W, C))
         # force ties inside pooling windows
         x = x.at[:, :, ::2].set(x[:, :, 1::2])
