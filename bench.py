@@ -138,7 +138,7 @@ def main():
     assert out["pred"].shape == geoms[0][0]
     if not mixed:
         out1 = run_device(prep_and_upload(*scans[1]), False)
-        np.asarray(out1["pred_packed"])
+        np.asarray(out1.get("masks_packed", out1["pred_packed"]))
     print(f"# setup+compile {time.time() - t_setup:.1f}s; "
           f"pred voxels {int(out['pred'].sum())}", file=sys.stderr)
 
@@ -150,8 +150,12 @@ def main():
         from dram_tpu.core.ops import unpackbits_np
         lo, oshape = out["out_window"]
         sl = tuple(slice(l, l + s) for l, s in zip(lo, oshape))
+        if "masks_packed" in out:  # wc wire: pred+post in ONE D2H fetch
+            packed = np.asarray(out["masks_packed"])[0]
+        else:
+            packed = np.asarray(out["pred_packed"])
         pred = np.zeros(out["out_shape"], np.uint8)
-        pred[sl] = unpackbits_np(np.asarray(out["pred_packed"]), oshape)
+        pred[sl] = unpackbits_np(packed, oshape)
         return int(pred[0, 0, 0] >= 0)
 
     prep_pool = ThreadPoolExecutor(2)

@@ -129,6 +129,60 @@ def gather_resize(x, weights):
     return x
 
 
+def _wire_layout(n_lobes, chunk, bucket, iso_shape, o_shape):
+    """Static layout of the three coalesced chunk-wire blobs.
+
+    Every per-scan H2D operand of stage2c — model chunks, bit masks and
+    all resize/gather tables — is packed into ONE u8, ONE i32 and ONE f32
+    vector, so a scan costs 3 device_put RPCs instead of ~25 (each RPC
+    has fixed multi-ms latency on tunneled/remote TPU links, and the prep
+    thread pays it serially). The layout is a pure function of the shape
+    key, so the host packer and the traced unpacker can't drift.
+
+    Returns ((offsets, total) for u8, i32, f32); offsets maps
+    name -> (position, shape)."""
+    def seq(entries):
+        off, pos = {}, 0
+        for name, shape in entries:
+            off[name] = (pos, tuple(int(s) for s in shape))
+            pos += int(np.prod(shape))
+        return off, pos
+
+    n = n_lobes
+    u8 = [("x80", (n,) + tuple(chunk)),
+          ("lobe_bits", (-(-n * int(np.prod(bucket)) // 8),)),
+          ("cand_bits", (-(-int(np.prod(iso_shape)) // 8),))]
+    i32 = [("starts", (n, 3)), ("box_lo", (n, 3)), ("box_sz", (n, 3)),
+           ("gz", (o_shape[0],)), ("gy", (o_shape[1],)),
+           ("gx", (o_shape[2],))]
+    f32 = [("present", (n,))]
+    for kind, lens in (("fw", chunk), ("bw", bucket)):
+        for ax in range(3):
+            i32.append((f"{kind}_lo{ax}", (n, lens[ax])))
+            i32.append((f"{kind}_hi{ax}", (n, lens[ax])))
+            f32.append((f"{kind}_fr{ax}", (n, lens[ax])))
+    return seq(u8), seq(i32), seq(f32)
+
+
+def _pack_blob(layout, arrays, dtype):
+    """Host: pack named numpy arrays into one flat vector per `layout`."""
+    off, total = layout
+    blob = np.zeros((total,), dtype)
+    for name, arr in arrays.items():
+        pos, shape = off[name]
+        blob[pos:pos + int(np.prod(shape))] = \
+            np.asarray(arr, dtype).reshape(-1)
+    return blob
+
+
+def _blob_get(blob, layout, name):
+    """Trace-time: static slice+reshape of one named entry."""
+    off, _ = layout
+    pos, shape = off[name]
+    n = int(np.prod(shape))
+    return blob[pos:pos + n].reshape(shape)
+
+
 def _crop_box_mask(box_lo, box_sz, bucket):
     """(N,3) crop offsets/sizes -> (N, *bucket) bool: positions inside each
     lobe's crop window. The CAM max normalisation runs over this box (the
@@ -528,15 +582,30 @@ class FastScanPipeline:
         model_eval = self.model_eval
         chunk = self.chunk_size
         n_lobes = self.n_lobes
+        lay_u8, lay_i32, lay_f32 = _wire_layout(n_lobes, chunk, bucket,
+                                                iso_shape, o_shape)
 
         @jax.jit
-        def stage2c(params, batch_stats, x80_u8, lobe_bits, cand_bits,
-                    starts, fw_los, fw_his, fw_fracs, bw_los, bw_his,
-                    bw_fracs, lobe_present, box_lo, box_sz, gz, gy, gx):
-            lmask = unpackbits_u8_dev(lobe_bits, (n_lobes, *bucket))
-            x80 = x80_u8.astype(jnp.float32) / 255.0
-            fw = ([fw_los[i] for i in range(3)], [fw_his[i] for i in range(3)],
-                  [fw_fracs[i] for i in range(3)])
+        def stage2c(params, batch_stats, u8b, i32b, f32b):
+            def gi(name):
+                return _blob_get(i32b, lay_i32, name)
+
+            def gf(name):
+                return _blob_get(f32b, lay_f32, name)
+
+            starts = gi("starts")
+            box_lo, box_sz = gi("box_lo"), gi("box_sz")
+            gz, gy, gx = gi("gz"), gi("gy"), gi("gx")
+            lobe_present = gf("present")
+            fw = ([gi(f"fw_lo{ax}") for ax in range(3)],
+                  [gi(f"fw_hi{ax}") for ax in range(3)],
+                  [gf(f"fw_fr{ax}") for ax in range(3)])
+            bw = ([gi(f"bw_lo{ax}") for ax in range(3)],
+                  [gi(f"bw_hi{ax}") for ax in range(3)],
+                  [gf(f"bw_fr{ax}") for ax in range(3)])
+            lmask = unpackbits_u8_dev(_blob_get(u8b, lay_u8, "lobe_bits"),
+                                      (n_lobes, *bucket))
+            x80 = _blob_get(u8b, lay_u8, "x80").astype(jnp.float32) / 255.0
             l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
 
             dense, refined = model_eval.apply(
@@ -552,8 +621,6 @@ class FastScanPipeline:
 
             # reference order (job_runner.py:993-997): resize the RAW
             # logits back, relu, then max-normalise over the crop box
-            bw = ([bw_los[i] for i in range(3)], [bw_his[i] for i in range(3)],
-                  [bw_fracs[i] for i in range(3)])
             cam_b = jnp.maximum(gather_resize(out, bw), 0.0)
             box = _crop_box_mask(box_lo, box_sz, bucket)
             cam_max = jnp.max(jnp.where(box, cam_b, 0.0), (1, 2, 3),
@@ -579,7 +646,8 @@ class FastScanPipeline:
             # intensity + vessel post rule precomputed on host (exact: the
             # w8 wire already quantizes the windowed scan to the u8 levels
             # the Otsu bins over; vessel is folded in)
-            cand = unpackbits_u8_dev(cand_bits, iso_shape)
+            cand = unpackbits_u8_dev(_blob_get(u8b, lay_u8, "cand_bits"),
+                                     iso_shape)
             post = pred & cand
 
             def back(x):
@@ -587,8 +655,14 @@ class FastScanPipeline:
                 x = jnp.take(x, gy, axis=1)
                 return jnp.take(x, gx, axis=2)
 
-            outs = (packbits_u8(back(pred)), packbits_u8(back(post)),
-                    th, ratio)
+            # one stacked D2H payload: [pred_bits, post_bits] u8 rows plus
+            # a tiny f32 meta vector [ratios..., threshold] — 2 fetch RPCs
+            # per scan instead of 4
+            masks = jnp.stack([packbits_u8(back(pred)),
+                               packbits_u8(back(post))])
+            meta = jnp.concatenate([ratio.astype(jnp.float32),
+                                    th.astype(jnp.float32)[None]])
+            outs = (masks, meta)
             if want_heatmap:
                 heat_u8 = jnp.clip(back(htp) * 255.0, 0, 255).astype(jnp.uint8)
                 outs = outs + (heat_u8,)
@@ -598,27 +672,35 @@ class FastScanPipeline:
         return stage2c
 
     def upload_chunks_prep(self, prepc):
-        """Device-put every wire and table of a chunk prep. Call from a
+        """Pack every wire and table of a chunk prep into the three
+        coalesced blobs (_wire_layout) and device-put them. Call from a
         prep thread so the dispatch loop does no H2D or table work (the
-        deploy host is single-core; main-thread GIL time is throughput)."""
+        deploy host is single-core; main-thread GIL time is throughput,
+        and each device_put RPC costs fixed latency on tunneled links)."""
         o_lo, o_shape, tables = self._back_gather_tables(
             tuple(prepc["out_shape"]),
             np.asarray(prepc["spacing"]) / prepc["iso_spacing"],
             np.asarray(prepc["crop_lo"]), prepc["iso_shape"])
         prepc["_back"] = (o_lo, o_shape)
+        lay_u8, lay_i32, lay_f32 = _wire_layout(
+            self.n_lobes, self.chunk_size, prepc["bucket"],
+            prepc["iso_shape"], o_shape)
+        fw, bw = prepc["fw"], prepc["bw"]
+        i32 = {"starts": prepc["starts"], "box_lo": prepc["offsets"],
+               "box_sz": prepc["sizes"], "gz": tables[0], "gy": tables[1],
+               "gx": tables[2]}
+        f32 = {"present": prepc["present"]}
+        for kind, t in (("fw", fw), ("bw", bw)):
+            for ax in range(3):
+                i32[f"{kind}_lo{ax}"] = t[0][ax]
+                i32[f"{kind}_hi{ax}"] = t[1][ax]
+                f32[f"{kind}_fr{ax}"] = t[2][ax]
         prepc["_dev"] = [
-            jnp.asarray(prepc["x80_u8"]), jnp.asarray(prepc["lobe_bits"]),
-            jnp.asarray(prepc["cand_bits"]), jnp.asarray(prepc["starts"]),
-            [jnp.asarray(a) for a in prepc["fw"][0]],
-            [jnp.asarray(a) for a in prepc["fw"][1]],
-            [jnp.asarray(a) for a in prepc["fw"][2]],
-            [jnp.asarray(a) for a in prepc["bw"][0]],
-            [jnp.asarray(a) for a in prepc["bw"][1]],
-            [jnp.asarray(a) for a in prepc["bw"][2]],
-            jnp.asarray(prepc["present"]),
-            jnp.asarray(np.asarray(prepc["offsets"], np.int32)),
-            jnp.asarray(np.asarray(prepc["sizes"], np.int32)),
-            *[jnp.asarray(t) for t in tables]]
+            jnp.asarray(_pack_blob(lay_u8, {
+                "x80": prepc["x80_u8"], "lobe_bits": prepc["lobe_bits"],
+                "cand_bits": prepc["cand_bits"]}, np.uint8)),
+            jnp.asarray(_pack_blob(lay_i32, i32, np.int32)),
+            jnp.asarray(_pack_blob(lay_f32, f32, np.float32))]
         return prepc
 
     def process_chunks(self, prepc, unpack=True, want_heatmap=False):
@@ -633,22 +715,32 @@ class FastScanPipeline:
         o_lo, o_shape = prepc["_back"]
         stage2c = self._get_stage2c(iso_shape, bucket, o_shape, want_heatmap)
         res = stage2c(self.params, self.batch_stats, *prepc["_dev"])
-        pred_p, post_p, th, ratio = res[:4]
-        out = {"pred_packed": pred_p, "post_packed": post_p,
-               "threshold": float(th) if unpack else th,
-               "ratios": np.asarray(ratio) if unpack else ratio,
+        masks, meta = res[0], res[1]
+        if unpack:
+            masks_np = np.asarray(masks)
+            meta_np = np.asarray(meta)
+            th, ratio = float(meta_np[-1]), meta_np[:-1]
+            pred_p, post_p = masks_np[0], masks_np[1]
+        else:
+            # keep everything on device: the caller's finish stage fetches
+            # masks_packed/meta in two RPCs, off the dispatch path
+            th, ratio = meta[-1], meta[:-1]
+            pred_p, post_p = masks[0], masks[1]
+        out = {"masks_packed": masks, "meta": meta,
+               "pred_packed": pred_p, "post_packed": post_p,
+               "threshold": th, "ratios": ratio,
                "present": prepc["present"],
                "out_shape": tuple(prepc["out_shape"]),
                "out_window": (tuple(o_lo), o_shape)}
         sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
         if want_heatmap:
             heat = np.zeros(out["out_shape"], np.uint8)
-            heat[sl] = np.asarray(res[4])
+            heat[sl] = np.asarray(res[2])
             out["heatmap_u8"] = heat
         if unpack:
             for name, packed in (("pred", pred_p), ("post", post_p)):
                 full = np.zeros(out["out_shape"], np.uint8)
-                full[sl] = unpackbits_np(np.asarray(packed), o_shape)
+                full[sl] = unpackbits_np(packed, o_shape)
                 out[name] = full
         return out
 

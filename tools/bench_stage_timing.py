@@ -1,6 +1,7 @@
-"""Per-stage timing of the fast pipeline on the two bench scans: isolates
-host prep / H2D / device execute / D2H for each scan shape to explain
-per-scan throughput differences."""
+"""Per-stage timing of the fast chunk-wire pipeline on the bench scans:
+isolates host prep (C++), wire pack+table build, H2D device_put, program
+dispatch, device execute, and D2H for each scan shape to explain per-scan
+throughput differences."""
 
 import os
 import sys
@@ -16,8 +17,6 @@ def main():
     from dram_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     import bench as benchmod
     from dram_tpu.infer.fast import prep_scan_chunks
 
@@ -32,20 +31,22 @@ def main():
             prep = prep_scan_chunks(scan, lobe, spacing,
                                     windowing_span=span)
             t1 = time.perf_counter()
-            wires = {k: jax.device_put(prep[k])
-                     for k in ("x80_u8", "lobe_bits", "cand_bits")}
-            jax.block_until_ready(list(wires.values()))
-            prep.update(wires)
+            pipe.upload_chunks_prep(prep)
+            jax.block_until_ready(prep["_dev"])
             t2 = time.perf_counter()
             out = pipe.process_chunks(prep, unpack=False)
-            jax.block_until_ready([out["pred_packed"], out["post_packed"]])
             t3 = time.perf_counter()
-            pred = np.asarray(out["pred_packed"])
+            jax.block_until_ready(out["masks_packed"])
             t4 = time.perf_counter()
+            masks = np.asarray(out["masks_packed"])
+            meta = np.asarray(out["meta"])
+            t5 = time.perf_counter()
             print(f"rep{rep} scan{si} iso={prep['iso_shape']} "
                   f"bucket={prep['bucket']} "
-                  f"prep {t1-t0:.2f} h2d {t2-t1:.2f} "
-                  f"device {t3-t2:.2f} d2h {t4-t3:.2f}")
+                  f"prep {t1-t0:.3f} pack+h2d {t2-t1:.3f} "
+                  f"dispatch {t3-t2:.3f} device {t4-t3:.3f} "
+                  f"d2h {t5-t4:.3f}  (masks {masks.nbytes/1e6:.1f} MB, "
+                  f"th {meta[-1]:.3f})")
 
 
 if __name__ == "__main__":
