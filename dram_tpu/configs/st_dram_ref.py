@@ -70,7 +70,11 @@ MODEL = {
     "kernel_sizes": [(3, 3)] * 7,
     "stacking": 3,
     "padding_list": [(1, 1)] * 7,
-    "checkpoint_layers": [0, 1, 0, 1, 0, 1, 0],
+    # remat OFF: bs10x80^3 fits v5e HBM with the fused cm-resident
+    # stacks, and the step is 9% faster (the reference torch config
+    # used torch.utils.checkpoint on layers 1/3/5: [0,1,0,1,0,1,0];
+    # remat is an engineering knob — numerics are unchanged)
+    "checkpoint_layers": [0, 0, 0, 0, 0, 0, 0],
     "dropout": 0.0,
     "upsample_ksize": (3, 3, 3),
     "upsample_sf": (2, 2, 2),

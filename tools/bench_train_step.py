@@ -32,7 +32,7 @@ REF = dict(n_layers=3,
            base_ch_list=(32, 64, 128, 256, 256, 128, 64),
            end_ch_list=(64, 128, 256, 512, 256, 128, 64),
            padding_list=((1, 1),) * 7,
-           checkpoint_layers=(0, 1, 0, 1, 0, 1, 0),
+           checkpoint_layers=(0, 0, 0, 0, 0, 0, 0),  # shipped config: remat off
            kernel_sizes=[(3, 3)] * 7,
            stacking=3, dropout=0.0)
 
