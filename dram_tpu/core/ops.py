@@ -55,6 +55,37 @@ def windowing_np(image, from_span=(-1150, 350), to_span=(0, 255)):
 # over the data range; masked voxels contribute zero weight.
 # ---------------------------------------------------------------------------
 
+def histogram256_mxu(v_int, mask_bool):
+    """Masked 256-bin histogram without scatter: an MXU one-hot matmul.
+
+    TPU scatter-add serializes: the profiler measured ~230 ms for the
+    26M-voxel heatmap histogram inside the inference device stage — 70%
+    of the whole device step. Decompose the bin id into nibbles so
+    counts[hi, lo] = sum_n m_n * onehot(v_n >> 4)[hi] * onehot(v_n & 15)[lo],
+    an int8 contraction with int32 accumulation (exact: the one-hots and
+    the mask are 0/1). Traffic is 32 int8/value instead of a serialized
+    scatter; the dot itself rides the MXU.
+
+    `v_int` int values in [0, 255], any shape; `mask_bool` same shape.
+    Returns float32 (256,) counts.
+    """
+    v = v_int.reshape(-1)
+    m = mask_bool.reshape(-1)
+    pad = (-v.shape[0]) % 128
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        m = jnp.concatenate([m, jnp.zeros((pad,), bool)])
+    v2 = v.reshape(-1, 128)
+    m2 = m.reshape(-1, 128)
+    rng = jnp.arange(16, dtype=v2.dtype)
+    hi = ((v2 >> 4)[..., None] == rng) & m2[..., None]
+    lo = (v2 & 15)[..., None] == rng
+    counts = jnp.einsum("mli,mlj->ij", hi.astype(jnp.int8),
+                        lo.astype(jnp.int8),
+                        preferred_element_type=jnp.int32)
+    return counts.reshape(256).astype(jnp.float32)
+
+
 def otsu_threshold_u8(values, mask=None):
     """Otsu threshold of float values in [0, 255] (uint8-quantized by floor).
 
@@ -63,9 +94,15 @@ def otsu_threshold_u8(values, mask=None):
     fixed. Matches skimage.threshold_otsu on the masked uint8 data.
     """
     v = jnp.floor(jnp.clip(values, 0.0, 255.0)).astype(jnp.int32)
-    w = jnp.ones(v.shape, jnp.float32) if mask is None else mask.astype(jnp.float32)
-
-    counts = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(w.reshape(-1))
+    if jax.default_backend() == "tpu":
+        m = jnp.ones(v.shape, bool) if mask is None else mask.astype(bool)
+        counts = histogram256_mxu(v, m)
+    else:
+        # CPU/GPU scatter-add is fine (and fastest) off-TPU
+        w = (jnp.ones(v.shape, jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        counts = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(
+            w.reshape(-1))
     centers = jnp.arange(256, dtype=jnp.float32)
 
     big = jnp.float32(1e9)

@@ -70,6 +70,18 @@ class TestOtsu:
         got = float(ops.otsu_threshold_u8(jnp.asarray(vals)))
         assert got == 37.0
 
+    @pytest.mark.parametrize("n", [1, 127, 128, 4096, 100_003])
+    def test_histogram256_mxu_matches_bincount(self, n):
+        # the TPU path of otsu_threshold_u8 (scatter-free MXU one-hot
+        # histogram); exercised directly since the suite runs on CPU
+        rng = np.random.default_rng(n)
+        v = rng.integers(0, 256, size=n).astype(np.int32)
+        m = rng.random(n) < 0.6
+        got = np.asarray(ops.histogram256_mxu(jnp.asarray(v),
+                                              jnp.asarray(m)))
+        want = np.bincount(v[m], minlength=256).astype(np.float32)
+        assert np.array_equal(got, want)
+
     def test_binary_cam_threshold_scaler(self):
         rng = np.random.default_rng(7)
         probs = np.clip(np.concatenate([rng.normal(0.2, 0.05, 4000),
