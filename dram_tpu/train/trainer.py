@@ -36,10 +36,10 @@ import numpy as np
 import optax
 from flax import serialization
 
-from ..core.mesh import best_mesh, pad_batch, shard_batch_arrays
+from ..core.mesh import best_mesh, pad_batch, replicate, shard_batch_arrays
 from ..core.resample import resize3d_np
 from ..data.datasets import RadboudCOVID, RadboudCOVIDLobeVesselChunk
-from ..data.pipeline import DataLoader
+from ..data.pipeline import DataLoader, collate_dict
 from ..data.sampler import LobeChunkCTSSSampler
 from ..data import transforms as T
 from ..core.ops import find_crops_np
@@ -56,6 +56,50 @@ class MODEL_STATUS(Enum):
     RANDOM_INITIALIZED = 1
     RELOAD_PRETRAINED = 2
     TRAINING = 3
+
+
+def _mask_wire(m):
+    """u8 wire for a mask channel when exactly representable, else f32."""
+    q = m.astype(np.uint8)
+    return q if (q == m).all() else m
+
+
+def pack_train_batch(batch, wire="f32"):
+    """Host-side wire packing of one collated train batch.
+
+    Runs inside the loader's producer threads (overlapped with device
+    compute). With `wire="u16"` the windowed image ships as uint16 plus a
+    per-batch (lo, hi) span and the lobe/lesion mask channels ship as uint8
+    when exactly representable — cutting per-step H2D ~2.4x (61 -> 25 MB at
+    the reference bs10 x 80^3). Dequantization happens inside the jitted
+    step; the u16 round-trip error is <= (hi-lo)/65535, two orders of
+    magnitude below the bf16 activation precision the TPU step computes in,
+    and the integral mask channels are bit-exact. `wire="f32"` ships float32
+    unchanged (the CPU / numerics-parity default).
+    """
+    images = batch["#image"][..., None].astype(np.float32)
+    lobes = batch["#lobe_reference"][..., None].astype(np.float32)
+    lesion_key = "#pseudo_lesion_reference" \
+        if "#pseudo_lesion_reference" in batch else "#lesion_reference"
+    lesions = batch[lesion_key][..., None].astype(np.float32)
+    meta = batch["meta"]
+    key = "ctss" if "ctss" in meta else "cle"
+    ctss = np.asarray([int(float(c)) for c in meta[key]], np.int32)
+    span = np.array([0.0, 1.0], np.float32)
+    if wire == "u16":
+        lo = float(images.min())
+        hi = float(images.max())
+        if not hi > lo:
+            hi = lo + 1.0
+        span = np.array([lo, hi], np.float32)
+        images = np.rint((images - lo) * (65535.0 / (hi - lo))) \
+            .astype(np.uint16)
+        lobes = _mask_wire(lobes)
+        lesions = _mask_wire(lesions)
+    elif wire != "f32":
+        raise ValueError(f"TRAIN_WIRE must be 'f32' or 'u16', got {wire!r}")
+    return {"_packed": True, "images": images, "span": span,
+            "lobes": lobes, "lesions": lesions, "ctss": ctss}
 
 
 # --- registry targets for reference-style OPTIMIZER/SCHEDULER configs ------
@@ -162,6 +206,14 @@ class JobRunner:
         self.compute_dtype = jnp.bfloat16 \
             if getattr(s, "COMPUTE_DTYPE", "float32") == "bfloat16" \
             else jnp.float32
+        # per-step H2D wire (pack_train_batch): quantized by default only on
+        # TPU, where the step already computes in bf16; TRAIN_WIRE overrides
+        self._train_wire = str(getattr(
+            s, "TRAIN_WIRE",
+            "u16" if jax.default_backend() == "tpu" else "f32"))
+        if self._train_wire not in ("f32", "u16"):
+            raise ValueError(f"TRAIN_WIRE must be 'f32' or 'u16', "
+                             f"got {self._train_wire!r}")
         if "use_pallas_attention" in getattr(model_cls,
                                              "__dataclass_fields__", {}):
             # fused stencil-attention kernel (TPU only; the CPU backend
@@ -363,7 +415,18 @@ class JobRunner:
         tx = self.tx
 
         def train_step(params, batch_stats, opt_state, images, lobes,
-                       lesions, ctss, freq, weights, rng):
+                       lesions, ctss, freq, weights, rng, img_span):
+            # unpack the H2D wire (pack_train_batch): u16 image dequantizes
+            # against the per-batch span; u8 masks cast back bit-exactly.
+            # XLA fuses both into the first consumers — no HBM round trip.
+            if images.dtype == jnp.uint16:
+                scale = (img_span[1] - img_span[0]) * (1.0 / 65535.0)
+                images = img_span[0] + images.astype(jnp.float32) * scale
+            else:
+                images = images.astype(jnp.float32)
+            lobes = lobes.astype(jnp.float32)
+            lesions = lesions.astype(jnp.float32)
+
             def loss_fn(p):
                 carry = {"bs": batch_stats}
 
@@ -404,7 +467,7 @@ class JobRunner:
             repl = NamedSharding(self.mesh, P())
             in_shardings = (repl, repl, repl, batch_sharding, batch_sharding,
                             batch_sharding, batch_sharding, repl,
-                            batch_sharding, repl)
+                            batch_sharding, repl, repl)
             self.train_step = jax.jit(train_step, donate_argnums=donate,
                                       in_shardings=in_shardings)
         else:
@@ -558,9 +621,17 @@ class LesionSegChunkTrain(JobRunner):
         self.ctss_frequency_map = sampler.ctss_frequency_map
         self.ctss_frequency_array = sampler.frequency_array()
         self.class_weights = sampler.class_weights
+        # wire packing (quantize + stack) runs inside the loader's producer
+        # threads, overlapped with device compute
+        wire = self._train_wire
+
+        def collate_packed(samples):
+            return pack_train_batch(collate_dict(samples), wire)
+
         self.tr_loader = DataLoader(
             tr_dataset, sampler, batch_size=self.loader_batch_size,
-            drop_last=True, num_workers=getattr(s, "NUM_WORKERS", 4) or 0)
+            drop_last=True, num_workers=getattr(s, "NUM_WORKERS", 4) or 0,
+            collate_fn=collate_packed)
         self.num_steps = len(self.tr_loader)
 
         val_cls = get_callable_by_name(getattr(
@@ -570,21 +641,26 @@ class LesionSegChunkTrain(JobRunner):
             transforms=self.get_data_transforms(False), keep_sorted=True)
 
     # -- train ---------------------------------------------------------
+    def _unpack_wire(self, images, span):
+        """Host-side inverse of the u16 image wire (for trace dumps)."""
+        if images.dtype != jnp.uint16:
+            return images
+        lo, hi = (float(v) for v in np.asarray(span))
+        return jnp.asarray(np.asarray(images, np.float32)
+                           * ((hi - lo) / 65535.0) + lo)
+
     def _device_batch(self, batch):
-        images = batch["#image"][..., None].astype(np.float32)
-        lobes = batch["#lobe_reference"][..., None].astype(np.float32)
-        lesion_key = "#pseudo_lesion_reference" \
-            if "#pseudo_lesion_reference" in batch else "#lesion_reference"
-        lesions = batch[lesion_key][..., None].astype(np.float32)
-        meta = batch["meta"]
-        key = "ctss" if "ctss" in meta else "cle"
-        ctss = np.asarray([int(float(c)) for c in meta[key]], np.int32)
-        arrays = (images, lobes, lesions, ctss)
+        if not batch.get("_packed"):
+            batch = pack_train_batch(batch, self._train_wire)
+        span = batch["span"]
+        arrays = (batch["images"], batch["lobes"], batch["lesions"],
+                  batch["ctss"])
         if self.mesh is not None:
             arrays, weights = pad_batch(arrays, self.n_shards)
-            return shard_batch_arrays(self.mesh, arrays + (weights,))
-        weights = np.ones(images.shape[0], np.float32)
-        return tuple(jnp.asarray(a) for a in arrays + (weights,))
+            sharded = shard_batch_arrays(self.mesh, arrays + (weights,))
+            return sharded + (replicate(self.mesh, jnp.asarray(span)),)
+        weights = np.ones(arrays[0].shape[0], np.float32)
+        return tuple(jnp.asarray(a) for a in arrays + (weights, span))
 
     def _dump_train_trace(self, images, lobes, step_rng, step_idx,
                           max_samples=2):
@@ -641,9 +717,12 @@ class LesionSegChunkTrain(JobRunner):
             jax.profiler.start_trace(profile_dir)
             self._profiling = True
         end = time.time()
+        pending = None  # (loss, losses, n): sync deferred by one step so
+        # the host overlaps the next batch's packing/H2D with device compute
         for step_idx, batch in enumerate(self.tr_loader):
             data_time.update(time.time() - end)
-            images, lobes, lesions, ctss, weights = self._device_batch(batch)
+            images, lobes, lesions, ctss, weights, span = \
+                self._device_batch(batch)
             self.rng, step_rng = jax.random.split(self.rng)
             # per-CALL transform sampling (reference metrics.py:224-231
             # draws the equivariance rescale size every call): redraw the
@@ -658,25 +737,31 @@ class LesionSegChunkTrain(JobRunner):
             (self.params, self.batch_stats, self.opt_state, loss, losses) = \
                 self.train_step(self.params, self.batch_stats, self.opt_state,
                                 images, lobes, lesions, ctss, freq, weights,
-                                step_rng)
+                                step_rng, span)
             self.current_iteration += 1
             if trace_on and (step_idx == 0 or (
                     trace_steps and step_idx % trace_steps == 0)):
                 try:
-                    self._dump_train_trace(images, lobes, step_rng, step_idx)
+                    self._dump_train_trace(
+                        self._unpack_wire(images, span),
+                        lobes.astype(jnp.float32), step_rng, step_idx)
                 except Exception as e:
                     self.logger.warning(f"train trace failed: {e}")
-            loss_v = float(loss)
-            loss_record.update(loss_v, images.shape[0])
+            if pending is not None:
+                loss_record.update(float(pending[0]), pending[2])
+            pending = (loss, losses, images.shape[0])
             batch_time.update(time.time() - end)
             end = time.time()
             if self.current_iteration % self.settings.LOG_STEPS == 0:
-                lv = [f"{float(l):.5f}" for l in losses]
+                # forces a sync — only every LOG_STEPS steps
+                lv = [f"{float(l):.5f}" for l in pending[1]]
                 self.logger.info(
                     f"Epoch: [{self.epoch_n}][{step_idx}], "
                     f"Time {batch_time.val:.3f} ({data_time.avg:.3f}) "
-                    f"Loss {loss_record.val:.6f} ({loss_record.avg:.6f}), "
+                    f"Loss {float(pending[0]):.6f} ({loss_record.avg:.6f}), "
                     f"losses: {lv}")
+        if pending is not None:
+            loss_record.update(float(pending[0]), pending[2])
         if getattr(self, "_profiling", False):
             jax.profiler.stop_trace()
             self._profiling = False

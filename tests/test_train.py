@@ -353,3 +353,77 @@ class TestDeterminism:
         b = run_once("b")
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestTrainWire:
+    """H2D wire packing (trainer.pack_train_batch): u16 image + u8 masks."""
+
+    def _raw_batch(self, rng):
+        from dram_tpu.data.pipeline import collate_dict
+        img = rng.random((2, 8, 8, 8)).astype(np.float32)
+        lobe = (rng.random((2, 8, 8, 8)) > 0.5).astype(np.float32)
+        les = (rng.random((2, 8, 8, 8)) > 0.7).astype(np.float32)
+        samples = [{"#image": img[i], "#lobe_reference": lobe[i],
+                    "#lesion_reference": les[i],
+                    "meta": {"ctss": str(i + 1)}} for i in range(2)]
+        return collate_dict(samples)
+
+    def test_pack_round_trip(self):
+        from dram_tpu.train.trainer import pack_train_batch
+        rng = np.random.default_rng(0)
+        raw = self._raw_batch(rng)
+        p = pack_train_batch(raw, "u16")
+        assert p["images"].dtype == np.uint16
+        assert p["lobes"].dtype == np.uint8
+        assert p["lesions"].dtype == np.uint8
+        lo, hi = p["span"]
+        back = p["images"].astype(np.float32) * ((hi - lo) / 65535.0) + lo
+        err = np.abs(back - raw["#image"][..., None])
+        assert err.max() <= (hi - lo) / 65535.0 * 0.5 + 1e-7
+        # masks are bit-exact
+        np.testing.assert_array_equal(
+            p["lobes"].astype(np.float32),
+            raw["#lobe_reference"][..., None])
+        np.testing.assert_array_equal(p["ctss"], [1, 2])
+
+    def test_non_integral_mask_stays_f32(self):
+        from dram_tpu.train.trainer import _mask_wire
+        m = np.array([0.0, 0.5, 1.0], np.float32)
+        assert _mask_wire(m).dtype == np.float32
+        m = np.array([0.0, 300.0], np.float32)  # out of u8 range
+        assert _mask_wire(m).dtype == np.float32
+        m = np.array([0.0, 5.0, 255.0], np.float32)
+        assert _mask_wire(m).dtype == np.uint8
+
+    def test_u16_step_matches_f32_step(self, env, tmp_path):
+        """One optimizer step through the u16 wire matches the f32 wire to
+        quantization tolerance (the jitted step dequantizes on device)."""
+        import jax
+        import jax.numpy as jnp
+        from dram_tpu.train.trainer import pack_train_batch
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "wire_step"
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        ds = runner.tr_loader.dataset
+        from dram_tpu.data.pipeline import collate_dict
+        raw = collate_dict([ds[0], ds[1]])
+        freq = jnp.asarray(runner.ctss_frequency_array)
+        rng = jax.random.PRNGKey(7)
+
+        def step(wire):
+            packed = pack_train_batch(raw, wire)
+            im, lob, les, ct, w, span = runner._device_batch(packed)
+            params = jax.tree.map(jnp.array, runner.params)
+            bs = jax.tree.map(jnp.array, runner.batch_stats)
+            opt = jax.tree.map(
+                lambda x: jnp.array(x) if hasattr(x, "dtype") else x,
+                runner.opt_state)
+            out = runner.train_step(params, bs, opt, im, lob, les, ct,
+                                    freq, w, rng, span)
+            return float(out[3])
+
+        l_f32 = step("f32")
+        l_u16 = step("u16")
+        assert l_u16 == pytest.approx(l_f32, rel=2e-3, abs=2e-4)
