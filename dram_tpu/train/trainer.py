@@ -58,13 +58,46 @@ class MODEL_STATUS(Enum):
     TRAINING = 3
 
 
-def _mask_wire(m):
-    """u8 wire for a mask channel when exactly representable, else f32."""
-    q = m.astype(np.uint8)
-    return q if (q == m).all() else m
+class MaskWireLatch:
+    """One-way u8 -> f32 latch for the mask wire dtype.
+
+    The mask channels ship as u8 only while every batch is exactly
+    representable; the first batch that is not (non-integral or >255
+    values) flips the latch to f32 *for the rest of the run*, so the
+    wire dtype changes at most once — a per-batch decision would flip
+    back and forth and force a jit retrace of the train step each time
+    (advisor finding, round 2)."""
+
+    def __init__(self, log=None):
+        self.u8_ok = True
+        self._log = log
+
+    def pack(self, m):
+        if self.u8_ok:
+            q = m.astype(np.uint8)
+            if (q == m).all():
+                return q
+            self.u8_ok = False
+            if self._log is not None:
+                self._log("mask wire: batch not u8-representable; "
+                          "latching the mask wire to f32 for this run "
+                          "(one train-step retrace)")
+        return m
 
 
-def pack_train_batch(batch, wire="f32"):
+def unpack_image_wire(images, span):
+    """The single inverse of the u16 image wire (pack_train_batch).
+
+    Shared by the jitted train step and host-side trace unpacking so the
+    wire format has exactly one dequantization (advisor finding: two
+    slightly different copies could drift by ULPs)."""
+    if images.dtype == jnp.uint16:
+        scale = (span[1] - span[0]) * (1.0 / 65535.0)
+        return span[0] + images.astype(jnp.float32) * scale
+    return images.astype(jnp.float32)
+
+
+def pack_train_batch(batch, wire="f32", mask_latch=None):
     """Host-side wire packing of one collated train batch.
 
     Runs inside the loader's producer threads (overlapped with device
@@ -89,13 +122,23 @@ def pack_train_batch(batch, wire="f32"):
     if wire == "u16":
         lo = float(images.min())
         hi = float(images.max())
-        if not hi > lo:
-            hi = lo + 1.0
-        span = np.array([lo, hi], np.float32)
-        images = np.rint((images - lo) * (65535.0 / (hi - lo))) \
-            .astype(np.uint16)
-        lobes = _mask_wire(lobes)
-        lesions = _mask_wire(lesions)
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            # NaN/Inf would make the float->u16 cast undefined and feed
+            # silent garbage to the step; the f32 wire propagates a
+            # visible NaN loss instead (advisor finding, round 2)
+            logging.getLogger(__name__).warning(
+                "u16 image wire: batch contains non-finite values; "
+                "shipping this batch as f32")
+        else:
+            if not hi > lo:
+                hi = lo + 1.0
+            span = np.array([lo, hi], np.float32)
+            images = np.rint((images - lo) * (65535.0 / (hi - lo))) \
+                .astype(np.uint16)
+        if mask_latch is None:
+            mask_latch = MaskWireLatch()
+        lobes = mask_latch.pack(lobes)
+        lesions = mask_latch.pack(lesions)
     elif wire != "f32":
         raise ValueError(f"TRAIN_WIRE must be 'f32' or 'u16', got {wire!r}")
     return {"_packed": True, "images": images, "span": span,
@@ -419,11 +462,7 @@ class JobRunner:
             # unpack the H2D wire (pack_train_batch): u16 image dequantizes
             # against the per-batch span; u8 masks cast back bit-exactly.
             # XLA fuses both into the first consumers — no HBM round trip.
-            if images.dtype == jnp.uint16:
-                scale = (img_span[1] - img_span[0]) * (1.0 / 65535.0)
-                images = img_span[0] + images.astype(jnp.float32) * scale
-            else:
-                images = images.astype(jnp.float32)
+            images = unpack_image_wire(images, img_span)
             lobes = lobes.astype(jnp.float32)
             lesions = lesions.astype(jnp.float32)
 
@@ -622,11 +661,15 @@ class LesionSegChunkTrain(JobRunner):
         self.ctss_frequency_array = sampler.frequency_array()
         self.class_weights = sampler.class_weights
         # wire packing (quantize + stack) runs inside the loader's producer
-        # threads, overlapped with device compute
+        # threads, overlapped with device compute; the mask-wire latch is
+        # per-run sticky so the wire dtype flips at most once (one retrace)
         wire = self._train_wire
+        if not hasattr(self, "_mask_latch"):
+            self._mask_latch = MaskWireLatch(log=self.logger.warning)
+        latch = self._mask_latch
 
         def collate_packed(samples):
-            return pack_train_batch(collate_dict(samples), wire)
+            return pack_train_batch(collate_dict(samples), wire, latch)
 
         self.tr_loader = DataLoader(
             tr_dataset, sampler, batch_size=self.loader_batch_size,
@@ -642,12 +685,10 @@ class LesionSegChunkTrain(JobRunner):
 
     # -- train ---------------------------------------------------------
     def _unpack_wire(self, images, span):
-        """Host-side inverse of the u16 image wire (for trace dumps)."""
-        if images.dtype != jnp.uint16:
-            return images
-        lo, hi = (float(v) for v in np.asarray(span))
-        return jnp.asarray(np.asarray(images, np.float32)
-                           * ((hi - lo) / 65535.0) + lo)
+        """Host-side inverse of the u16 image wire (for trace dumps) —
+        the same arithmetic the train step traces (unpack_image_wire)."""
+        return unpack_image_wire(jnp.asarray(images),
+                                 jnp.asarray(np.asarray(span, np.float32)))
 
     def _device_batch(self, batch):
         if not batch.get("_packed"):
@@ -753,12 +794,17 @@ class LesionSegChunkTrain(JobRunner):
             batch_time.update(time.time() - end)
             end = time.time()
             if self.current_iteration % self.settings.LOG_STEPS == 0:
-                # forces a sync — only every LOG_STEPS steps
+                # forces a sync — only every LOG_STEPS steps. The running
+                # average INCLUDES the still-pending step (its update is
+                # deferred), matching the reference's loss_record cadence
+                cur = float(pending[0])
+                avg = (loss_record.sum + cur * pending[2]) / \
+                    max(loss_record.count + pending[2], 1)
                 lv = [f"{float(l):.5f}" for l in pending[1]]
                 self.logger.info(
                     f"Epoch: [{self.epoch_n}][{step_idx}], "
                     f"Time {batch_time.val:.3f} ({data_time.avg:.3f}) "
-                    f"Loss {float(pending[0]):.6f} ({loss_record.avg:.6f}), "
+                    f"Loss {cur:.6f} ({avg:.6f}), "
                     f"losses: {lv}")
         if pending is not None:
             loss_record.update(float(pending[0]), pending[2])

@@ -387,13 +387,29 @@ class TestTrainWire:
         np.testing.assert_array_equal(p["ctss"], [1, 2])
 
     def test_non_integral_mask_stays_f32(self):
-        from dram_tpu.train.trainer import _mask_wire
-        m = np.array([0.0, 0.5, 1.0], np.float32)
-        assert _mask_wire(m).dtype == np.float32
-        m = np.array([0.0, 300.0], np.float32)  # out of u8 range
-        assert _mask_wire(m).dtype == np.float32
+        from dram_tpu.train.trainer import MaskWireLatch
+        latch = MaskWireLatch()
         m = np.array([0.0, 5.0, 255.0], np.float32)
-        assert _mask_wire(m).dtype == np.uint8
+        assert latch.pack(m).dtype == np.uint8
+        m = np.array([0.0, 0.5, 1.0], np.float32)
+        assert latch.pack(m).dtype == np.float32
+        # the latch is one-way: once any batch needed f32, later
+        # u8-representable batches ALSO ship f32 (at most one retrace)
+        m = np.array([0.0, 5.0, 255.0], np.float32)
+        assert latch.pack(m).dtype == np.float32
+        latch2 = MaskWireLatch()
+        m = np.array([0.0, 300.0], np.float32)  # out of u8 range
+        assert latch2.pack(m).dtype == np.float32
+
+    def test_nonfinite_image_falls_back_to_f32_wire(self):
+        from dram_tpu.train.trainer import pack_train_batch
+        rng = np.random.default_rng(3)
+        raw = self._raw_batch(rng)
+        raw["#image"][0, 0, 0, 0] = np.nan
+        p = pack_train_batch(raw, "u16")
+        assert p["images"].dtype == np.float32  # not undefined u16 garbage
+        assert np.isnan(p["images"]).any()
+        np.testing.assert_array_equal(p["span"], [0.0, 1.0])
 
     def test_u16_step_matches_f32_step(self, env, tmp_path):
         """One optimizer step through the u16 wire matches the f32 wire to
