@@ -216,6 +216,21 @@ def masked_mean(x, mask, axes):
     return jnp.sum(x * m, axis=axes) / jnp.maximum(jnp.sum(m, axis=axes), 1e-12)
 
 
+def gsum(x, axis_name=None):
+    """Global scalar sum: jnp.sum, then a cross-shard psum when running
+    inside shard_map/pmap (`axis_name` set). The building block that makes
+    every batch-pooled loss statistic exact under data-parallel sharding:
+    losses compute local sums and divide global numerators by global
+    denominators, so per-shard loss VALUES match the single-device math.
+    Gradient convention: psum transposes to psum under shard_map, so each
+    shard's grad of a gsum'd loss is N x its local contribution — the
+    trainer pmeans (not psums) grads to recover the global gradient."""
+    s = jnp.sum(x)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
 # ---------------------------------------------------------------------------
 # Bounding boxes.
 # ---------------------------------------------------------------------------

@@ -387,6 +387,28 @@ def _bn_stats(st, count):
     return mean, jnp.maximum(var, 0.0)
 
 
+def _global_stats(st, n_local, axis_name):
+    """(sum, sumsq) accumulators + local element count -> cross-shard
+    (sums, global count). Under shard_map data parallelism (`axis_name`)
+    the per-shard epilogue sums are psum'd over the batch axis BEFORE the
+    BN affine, so the fused BatchNorm sees the GLOBAL batch statistics —
+    exactly like the unfused cross-replica path (reference `sbn` intent,
+    parts.py:32-33)."""
+    if axis_name is None:
+        return st, n_local
+    st = jax.lax.psum(st, axis_name)
+    return st, n_local * float(_axis_size(axis_name))
+
+
+def _axis_size(axis_name):
+    names = axis_name if isinstance(axis_name, (tuple, list)) \
+        else (axis_name,)
+    size = 1
+    for n in names:
+        size *= jax.lax.axis_size(n)
+    return size
+
+
 def _lane_mask_cm(shape, HW):
     i = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
     return i < HW
@@ -394,7 +416,7 @@ def _lane_mask_cm(shape, HW):
 
 def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
                train=True, eps=1e-5, momentum=0.9, interpret=False,
-               cm_out=False):
+               cm_out=False, axis_name=None):
     """conv->bn->relu->conv->bn->relu as a fused chain.
 
     x: NDHWC array or a CM kernel-layout activation; w*: (3,3,3,Ci,Co)
@@ -402,14 +424,22 @@ def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
     (y NDHWC — or CM when cm_out, (new_m0, new_v0, new_m1, new_v1)).
     Differentiable in x, w*, g*, b* via a custom VJP; with CM in/out the
     cotangents also stay in the kernel layout (no transposes in either
-    pass — see core/pallas/cm.py).
+    pass — see core/pallas/cm.py). With `axis_name` (shard_map data
+    parallelism) the BN batch statistics are psum'd over the axis, so the
+    fused chain is exact under DP; the backward psums the batch-coupled
+    BN reduction terms and otherwise propagates whatever scale the
+    incoming cotangent carries (under shard_map, psum transposes to
+    psum, so a psum'd loss hands every shard N x its local cotangent —
+    the trainer's grads-pmean then recovers the exact global gradient;
+    tests/test_fused_stack.py::TestFusedDPExact).
     """
     if isinstance(x, CM):
         cm_in, hw, xa = True, (x.H, x.W), x.data
     else:
         cm_in, hw, xa = False, (x.shape[2], x.shape[3]), x
     y, stats = _fused_cbr2_vjp(xa, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                               train, eps, interpret, cm_in, cm_out, hw)
+                               train, eps, interpret, cm_in, cm_out, hw,
+                               axis_name)
     if cm_out:
         y = CM(y, hw[0], hw[1])
     if train:
@@ -421,16 +451,18 @@ def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
     return y, new
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16, 17))
 def _fused_cbr2_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                    train, eps, interpret, cm_in, cm_out, hw):
+                    train, eps, interpret, cm_in, cm_out, hw, axis_name):
     y, stats, _ = _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                             train, eps, interpret, cm_in, cm_out, hw)
+                             train, eps, interpret, cm_in, cm_out, hw,
+                             axis_name)
     return y, stats
 
 
 def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-               train, eps, interpret, cm_in, cm_out, hw):
+               train, eps, interpret, cm_in, cm_out, hw, axis_name):
     H, W = hw
     if cm_in:
         B, D = x.shape[0], x.shape[1]
@@ -443,9 +475,10 @@ def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
     zero0 = jnp.zeros((Ci,), jnp.float32)
     out0, st0 = conv_cm(x_cm, _wk(w0, dt), zero0, zero0, H, W, D,
                         prologue=False, stats=train, interpret=interpret)
-    n = B * D * H * W
+    n = float(B * D * H * W)
     if train:
-        bm0, bv0 = _bn_stats(st0, float(n))
+        st0, n_g = _global_stats(st0, n, axis_name)
+        bm0, bv0 = _bn_stats(st0, n_g)
     else:
         bm0, bv0 = m0, v0
     s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
@@ -453,7 +486,8 @@ def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
     out1, st1 = conv_cm(out0, _wk(w1, dt), s0, t0, H, W, D,
                         prologue=True, stats=train, interpret=interpret)
     if train:
-        bm1, bv1 = _bn_stats(st1, float(n))
+        st1, n_g = _global_stats(st1, n, axis_name)
+        bm1, bv1 = _bn_stats(st1, n_g)
     else:
         bm1, bv1 = m1, v1
     s1, t1 = _affine_from_stats(g1, b1, bm1, bv1, eps)
@@ -472,13 +506,51 @@ def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
 
 
 def _vjp_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-             train, eps, interpret, cm_in, cm_out, hw):
+             train, eps, interpret, cm_in, cm_out, hw, axis_name):
     y, stats, res = _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                               train, eps, interpret, cm_in, cm_out, hw)
+                               train, eps, interpret, cm_in, cm_out, hw,
+                               axis_name)
     return (y, stats), res
 
 
-def _vjp_bwd(train, eps, interpret, cm_in, cm_out, hw, res, cot):
+def _bn_back_cm(d_post, out, gamma, beta, mean, var, *, eps, train, n, HW,
+                dt, axis_name):
+    """relu+BN backward at kernel layout; returns (d_out, dg, db).
+
+    `n` is the GLOBAL element count; under shard_map (`axis_name`) the
+    dbeta/dgamma reduction terms entering d_out are psum'd (the batch-stat
+    dependence couples every shard's rows), while the RETURNED dg/db are
+    per-shard partial sums at the incoming cotangent's scale — with a
+    psum'd loss each shard's cotangent is N x the true one, so the
+    trainer's grads-pmean recovers the exact global dg/db."""
+    inv = jax.lax.rsqrt(var + eps)
+    s = (gamma * inv)[None, None, :, None]
+    t = (beta - mean * gamma * inv)[None, None, :, None]
+    of = out.astype(jnp.float32)
+    lane = _lane_mask_cm(out.shape, HW)
+    post = of * s + t
+    dp = jnp.where((post > 0) & lane, d_post.astype(jnp.float32), 0.0)
+    xhat = (of - mean[None, None, :, None]) * inv[None, None, :, None]
+    dbeta = jnp.sum(dp, axis=(0, 1, 3))
+    dgamma = jnp.sum(dp * xhat, axis=(0, 1, 3))
+    if train:
+        if axis_name is not None:
+            dbeta_g = jax.lax.psum(dbeta, axis_name)
+            dgamma_g = jax.lax.psum(dgamma, axis_name)
+        else:
+            dbeta_g, dgamma_g = dbeta, dgamma
+        dxhat = dp * gamma[None, None, :, None]
+        mean_dxhat = (dbeta_g * gamma) / n
+        mean_dxhat_xhat = (dgamma_g * gamma) / n
+        d_out = inv[None, None, :, None] * (
+            dxhat - mean_dxhat[None, None, :, None]
+            - xhat * mean_dxhat_xhat[None, None, :, None])
+    else:
+        d_out = dp * s
+    return d_out.astype(dt), dgamma, dbeta
+
+
+def _vjp_bwd(train, eps, interpret, cm_in, cm_out, hw, axis_name, res, cot):
     dy, _dstats = cot
     (x_cm, w0, g0, b0, w1, g1, b1, out0, out1, stats) = res
     bm0, bv0, bm1, bv1 = stats
@@ -486,30 +558,14 @@ def _vjp_bwd(train, eps, interpret, cm_in, cm_out, hw, res, cot):
     B, D = x_cm.shape[0], x_cm.shape[1]
     HW = H * W
     n = float(B * D * HW)
+    if axis_name is not None:
+        n = n * float(_axis_size(axis_name))
     dt = x_cm.dtype
 
     def bn_back(d_post, out, gamma, beta, mean, var):
-        """relu+BN backward at kernel layout; returns (d_out, dg, db)."""
-        inv = jax.lax.rsqrt(var + eps)
-        s = (gamma * inv)[None, None, :, None]
-        t = (beta - mean * gamma * inv)[None, None, :, None]
-        of = out.astype(jnp.float32)
-        lane = _lane_mask_cm(out.shape, HW)
-        post = of * s + t
-        dp = jnp.where((post > 0) & lane, d_post.astype(jnp.float32), 0.0)
-        xhat = (of - mean[None, None, :, None]) * inv[None, None, :, None]
-        dbeta = jnp.sum(dp, axis=(0, 1, 3))
-        dgamma = jnp.sum(dp * xhat, axis=(0, 1, 3))
-        if train:
-            dxhat = dp * gamma[None, None, :, None]
-            mean_dxhat = (dbeta * gamma) / n
-            mean_dxhat_xhat = (dgamma * gamma) / n
-            d_out = inv[None, None, :, None] * (
-                dxhat - mean_dxhat[None, None, :, None]
-                - xhat * mean_dxhat_xhat[None, None, :, None])
-        else:
-            d_out = dp * s
-        return d_out.astype(dt), dgamma, dbeta
+        return _bn_back_cm(d_post, out, gamma, beta, mean, var, eps=eps,
+                           train=train, n=n, HW=HW, dt=dt,
+                           axis_name=axis_name)
 
     dy_cm = dy if cm_out else to_cm(dy)
     dout1, dg1, db1 = bn_back(dy_cm, out1, g1, b1, bm1, bv1)
@@ -577,17 +633,18 @@ def fused_stack_first_xla_supported(x_shape, features, kernel_sizes,
 
 def fused_cbr2_first_xla(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
                          train=True, eps=1e-5, momentum=0.9,
-                         interpret=False, cm_out=False):
+                         interpret=False, cm_out=False, axis_name=None):
     """Like fused_cbr2 but conv_0 runs as an XLA convolution (used when
     the first conv's channel count is below the kernel's floor, e.g. the
     DC3D input stack's Ci=1). Everything downstream of conv_0 — stats,
     BN0 affine+relu (in conv_1's prologue), conv_1, BN1+relu — is fused.
     Input is always NDHWC (this is the network entry); cm_out keeps the
-    output (and its cotangent) in the kernel layout.
+    output (and its cotangent) in the kernel layout. `axis_name` as in
+    fused_cbr2 (global BN stats under shard_map DP).
     """
     y, stats = _fused_first_xla_vjp(x, w0, g0, b0, w1, g1, b1,
                                     m0, v0, m1, v1, train, eps, interpret,
-                                    cm_out)
+                                    cm_out, axis_name)
     if cm_out:
         y = CM(y, x.shape[2], x.shape[3])
     if train:
@@ -605,17 +662,17 @@ def _xla_conv(x, w):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def _fused_first_xla_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                         train, eps, interpret, cm_out):
+                         train, eps, interpret, cm_out, axis_name):
     y, stats, _ = _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1,
                                        m0, v0, m1, v1, train, eps,
-                                       interpret, cm_out)
+                                       interpret, cm_out, axis_name)
     return y, stats
 
 
 def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                         train, eps, interpret, cm_out):
+                         train, eps, interpret, cm_out, axis_name):
     B, D, H, W, _ = x.shape
     dt = x.dtype
     h0 = _xla_conv(x, w0)
@@ -623,9 +680,10 @@ def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
     n = float(B * D * H * W)
     if train:
         h0f = h0.astype(jnp.float32)
-        bm0 = jnp.mean(h0f, axis=(0, 1, 2, 3))
-        bv0 = jnp.maximum(jnp.mean(h0f * h0f, axis=(0, 1, 2, 3))
-                          - bm0 * bm0, 0.0)
+        st0 = jnp.stack([jnp.sum(h0f, axis=(0, 1, 2, 3)),
+                         jnp.sum(h0f * h0f, axis=(0, 1, 2, 3))])
+        st0, n_g = _global_stats(st0, n, axis_name)
+        bm0, bv0 = _bn_stats(st0, n_g)
     else:
         bm0, bv0 = m0, v0
     s0, t0 = _affine_from_stats(g0, b0, bm0, bv0, eps)
@@ -633,7 +691,8 @@ def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
     out1, st1 = conv_cm(h0_cm, _wk(w1, dt), s0, t0, H, W, D,
                         prologue=True, stats=train, interpret=interpret)
     if train:
-        bm1, bv1 = _bn_stats(st1, n)
+        st1, n_g = _global_stats(st1, n, axis_name)
+        bm1, bv1 = _bn_stats(st1, n_g)
     else:
         bm1, bv1 = m1, v1
     s1, t1 = _affine_from_stats(g1, b1, bm1, bv1, eps)
@@ -649,43 +708,28 @@ def _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
 
 
 def _first_xla_vjp_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
-                       train, eps, interpret, cm_out):
+                       train, eps, interpret, cm_out, axis_name):
     y, stats, res = _fused_first_xla_fwd(x, w0, g0, b0, w1, g1, b1,
                                          m0, v0, m1, v1, train, eps,
-                                         interpret, cm_out)
+                                         interpret, cm_out, axis_name)
     return (y, stats), res
 
 
-def _first_xla_vjp_bwd(train, eps, interpret, cm_out, res, cot):
+def _first_xla_vjp_bwd(train, eps, interpret, cm_out, axis_name, res, cot):
     dy, _ = cot
     (x, w0, g0, b0, w1, g1, b1, h0_cm, out1, stats) = res
     bm0, bv0, bm1, bv1 = stats
     B, D, H, W = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
     HW = H * W
     n = float(B * D * HW)
+    if axis_name is not None:
+        n = n * float(_axis_size(axis_name))
     dt = x.dtype
 
     def bn_back(d_post, out, gamma, beta, mean, var):
-        inv = jax.lax.rsqrt(var + eps)
-        s = (gamma * inv)[None, None, :, None]
-        t = (beta - mean * gamma * inv)[None, None, :, None]
-        of = out.astype(jnp.float32)
-        lane = _lane_mask_cm(out.shape, HW)
-        post = of * s + t
-        dp = jnp.where((post > 0) & lane, d_post.astype(jnp.float32), 0.0)
-        xhat = (of - mean[None, None, :, None]) * inv[None, None, :, None]
-        dbeta = jnp.sum(dp, axis=(0, 1, 3))
-        dgamma = jnp.sum(dp * xhat, axis=(0, 1, 3))
-        if train:
-            dxhat = dp * gamma[None, None, :, None]
-            mean_dxhat = (dbeta * gamma) / n
-            mean_dxhat_xhat = (dgamma * gamma) / n
-            d_out = inv[None, None, :, None] * (
-                dxhat - mean_dxhat[None, None, :, None]
-                - xhat * mean_dxhat_xhat[None, None, :, None])
-        else:
-            d_out = dp * s
-        return d_out.astype(dt), dgamma, dbeta
+        return _bn_back_cm(d_post, out, gamma, beta, mean, var, eps=eps,
+                           train=train, n=n, HW=HW, dt=dt,
+                           axis_name=axis_name)
 
     dy_cm = dy if cm_out else to_cm(dy)
     dout1, dg1, db1 = bn_back(dy_cm, out1, g1, b1, bm1, bv1)

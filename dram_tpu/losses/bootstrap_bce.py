@@ -12,10 +12,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core.ops import gsum
 
-def _masked_mean(x, m):
+
+def _masked_mean(x, m, axis_name=None):
     m = m.astype(x.dtype)
-    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1e-12)
+    return gsum(x * m, axis_name) / jnp.maximum(gsum(m, axis_name), 1e-12)
 
 
 class BootBinCrossEntropy:
@@ -30,7 +32,8 @@ class BootBinCrossEntropy:
         self.smoothing = smoothing
         self.eps = 1e-7
 
-    def __call__(self, p, t, voi, class_weights=None, sample_weight=None):
+    def __call__(self, p, t, voi, class_weights=None, sample_weight=None,
+                 axis_name=None):
         t = t.astype(p.dtype)
         outside = (voi < 1e-7).astype(p.dtype)
         inside = (voi > 0.0).astype(p.dtype)
@@ -46,18 +49,21 @@ class BootBinCrossEntropy:
         ptc = jnp.clip(pt, self.eps, 1.0 - self.eps)
         nll = -jnp.log(ptc)
 
-        bceo_loss = _masked_mean(nll, outside)
+        bceo_loss = _masked_mean(nll, outside, axis_name)
 
-        n_in = jnp.sum(inside)
-        t_in = jnp.sum(t * inside)
+        # alpha balances over the GLOBAL batch (the reference pools its
+        # boolean-indexed statistics over the whole flattened batch)
+        n_in = gsum(inside, axis_name)
+        t_in = gsum(t * inside, axis_name)
         alpha = jnp.clip(1.0 - t_in / jnp.maximum(n_in, 1e-12), 0.25, 0.75)
         w = (alpha * t + (1.0 - alpha) * (1.0 - t)) * inside
-        bce_loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
+        bce_loss = gsum(nll * w, axis_name) / \
+            jnp.maximum(gsum(w, axis_name), 1e-12)
 
         t_hat = (p > 0.5).astype(p.dtype)
         pt_hat = p * t_hat + (1.0 - p) * (1.0 - t_hat)
         nll_hat = -jnp.log(jnp.clip(pt_hat, self.eps, 1.0 - self.eps))
-        bootstrap_loss = _masked_mean(nll_hat, inside)
+        bootstrap_loss = _masked_mean(nll_hat, inside, axis_name)
 
         inside_term = (1.0 - self.smoothing) * bce_loss + \
             self.smoothing * bootstrap_loss

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.ops import masked_mean
+from ..core.ops import gsum, masked_mean
 
 # score -> admissible lesion-ratio interval (reference metrics.py:76-83)
 CTSS_RATIO_LB = np.array([0.0, 0.001, 0.01, 0.05, 0.35, 0.5], np.float32)
@@ -72,27 +72,31 @@ def gen_qwk(n):
     return qwk + 1.0
 
 
-def compute_enc_loss(p, sample_weight=None):
+def compute_enc_loss(p, sample_weight=None, axis_name=None):
     """Entropy regulariser pushing probabilities toward {0,1}
     (reference metrics.py:154-156). With `sample_weight` (B,), padded
     batch rows (weight 0) are excluded exactly — used by pad-and-mask
-    data parallelism (core/mesh.py pad_batch)."""
+    data parallelism (core/mesh.py pad_batch). Under shard_map
+    (`axis_name`), the mean pools over the GLOBAL batch."""
     ent = (-p * jnp.log(p + 1e-7)) + (p - 1.0) * jnp.log(1.0 - p + 1e-7)
     if sample_weight is None:
-        return jnp.mean(ent)
+        n = jnp.asarray(ent.size, ent.dtype)
+        return gsum(ent, axis_name) / gsum(n, axis_name)
     w = sample_weight.astype(ent.dtype)
     per_sample = jnp.mean(ent, axis=tuple(range(1, ent.ndim)))
-    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-12)
+    return gsum(per_sample * w, axis_name) / \
+        jnp.maximum(gsum(w, axis_name), 1e-12)
 
 
 def compute_reg_loss_with_probs(probs, lobes, lesion_candidates, ctsses,
                                 band_width, ctss_frequency=None,
-                                sample_weight=None):
+                                sample_weight=None, axis_name=None):
     """probs/lobes/lesion_candidates: (B,D,H,W,1); ctsses: (B,) ints.
 
     Returns the summed hinge-squared interval loss (reference
     metrics.py:158-177), weighted by the inverse clamped label frequency.
-    `sample_weight` (B,) zeroes padded batch rows exactly.
+    `sample_weight` (B,) zeroes padded batch rows exactly; `axis_name`
+    makes the batch sum global under shard_map data parallelism.
     """
     if ctss_frequency is None:
         ctss_frequency = jnp.asarray(DEFAULT_CTSS_FREQUENCY)
@@ -114,7 +118,7 @@ def compute_reg_loss_with_probs(probs, lobes, lesion_candidates, ctsses,
     per_sample = loss_unweight / wf
     if sample_weight is not None:
         per_sample = per_sample * sample_weight.astype(per_sample.dtype)
-    return jnp.sum(per_sample)
+    return gsum(per_sample, axis_name)
 
 
 class IntRegLoss:
@@ -134,11 +138,12 @@ class IntRegLoss:
         return ratio_to_label(ratios)
 
     def __call__(self, model_fn, images, lobes, lesions, ctsses,
-                 ctss_frequency=None, rng=None, sample_weight=None, **kwargs):
+                 ctss_frequency=None, rng=None, sample_weight=None,
+                 axis_name=None, **kwargs):
         dense_outs, _ = model_fn(images, lobes)
         probs = jax.nn.sigmoid(dense_outs)
         reg_loss = compute_reg_loss_with_probs(
             probs, lobes, lesions, ctsses, self.band_width, ctss_frequency,
-            sample_weight)
-        enc_loss = compute_enc_loss(probs, sample_weight)
+            sample_weight, axis_name)
+        enc_loss = compute_enc_loss(probs, sample_weight, axis_name)
         return reg_loss, enc_loss

@@ -41,9 +41,13 @@ def make_norm(norm_method, dtype=jnp.float32, axis_name=None):
     """
     def build(use_running_average):
         if norm_method in ("bn", "sbn"):
+            # 'bn' also takes the axis_name: under GSPMD jit (axis_name
+            # None) batch-stat reductions are already global; under
+            # shard_map the explicit pmean keeps the SAME global-batch
+            # semantics, so switching execution models never changes stats
             return nn.BatchNorm(use_running_average=use_running_average,
                                 momentum=0.9, epsilon=1e-5, dtype=dtype,
-                                axis_name=axis_name if norm_method == "sbn" else None)
+                                axis_name=axis_name)
         if norm_method == "bnt":
             return nn.BatchNorm(use_running_average=False, momentum=0.9,
                                 epsilon=1e-5, dtype=dtype)
@@ -186,9 +190,10 @@ class ConvStack(nn.Module):
     in the kernel layout, BN stats accumulate in the conv epilogue and the
     BN affine+ReLU applies in the next conv's prologue — no HBM round
     trips between the convolutions. Parameter tree and checkpoints are
-    identical to the unfused path. NOTE: the fused BatchNorm reduces over
-    the locally-visible batch, so it is enabled for single-chip execution
-    (under data-parallel sharding the unfused path keeps global stats).
+    identical to the unfused path. Under shard_map data parallelism
+    (`axis_name` set) the fused BatchNorm psums its epilogue stats over
+    the batch axes, so batch statistics are global — exact on any device
+    count.
     """
 
     features: Sequence[int]
@@ -233,7 +238,7 @@ class ConvStack(nn.Module):
             x, w0, g0, b0, m0.value, v0.value,
             w1, g1, b1, m1.value, v1.value,
             train=self.train, interpret=self.fused_interpret,
-            cm_out=self.cm_out and cm_capable)
+            cm_out=self.cm_out and cm_capable, axis_name=self.axis_name)
         if self.train and not self.is_initializing():
             m0.value, v0.value = nm0, nv0
             m1.value, v1.value = nm1, nv1

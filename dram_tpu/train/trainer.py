@@ -279,14 +279,13 @@ class JobRunner:
         if "use_fused_stack" in getattr(model_cls,
                                         "__dataclass_fields__", {}):
             # fully fused conv->bn->relu chain (core/pallas/fused_stack.py):
-            # no HBM round trips between a stack's two convs. Single-chip
-            # only by default — its BatchNorm reduces over the local batch,
-            # while the unfused path keeps global stats under DP sharding.
+            # no HBM round trips between a stack's two convs. DP-exact on
+            # any device count: under the shard_map train step the fused
+            # BatchNorm psums its epilogue stats over the batch axes.
             # USE_FUSED_STACK overrides.
             model_cfg["use_fused_stack"] = bool(
                 getattr(s, "USE_FUSED_STACK",
-                        jax.default_backend() == "tpu"
-                        and jax.device_count() == 1))
+                        jax.default_backend() == "tpu"))
         self.model = model_cls(**model_cfg, train=True,
                                dtype=self.compute_dtype)
         eval_cfg = dict(model_cfg)
@@ -453,9 +452,23 @@ class JobRunner:
             self.train_step = self._step_cache[key]
             return
         factors = [float(f) for f in self.settings.LOSS_FACTORS]
-        model = self.model
         loss_func = self.loss_func
         tx = self.tx
+
+        # Multi-device: the step runs under shard_map with the batch axis
+        # split over every mesh axis and params replicated — Pallas kernels
+        # execute per-shard (GSPMD would gather around the custom calls),
+        # BatchNorm stats pmean/psum over the axes (global-batch semantics,
+        # exact vs single device), losses pool their batch statistics with
+        # psum'd numerators/denominators, and the gradients are pmean'd
+        # once before the optimizer update (see the note at the pmean:
+        # with the loss psum'd inside, pmean — not psum — is exact).
+        axes = tuple(self.mesh.axis_names) if self.mesh is not None else None
+        if axes is not None:
+            model = self.model.clone(
+                axis_name=axes if len(axes) > 1 else axes[0])
+        else:
+            model = self.model
 
         def train_step(params, batch_stats, opt_state, images, lobes,
                        lesions, ctss, freq, weights, rng, img_span):
@@ -479,7 +492,8 @@ class JobRunner:
 
                 losses = loss_func(model_fn, images, lobes, lesions, ctss,
                                    ctss_frequency=freq, rng=rng,
-                                   sample_weight=weights)
+                                   sample_weight=weights,
+                                   axis_name=model.axis_name)
                 # Extra factors are legal (the reference ships 4 factors for
                 # the 2-term IntRegRefineLoss); fewer factors than losses
                 # would silently drop a loss term from the objective.
@@ -494,21 +508,33 @@ class JobRunner:
 
             (loss, (losses, new_bs)), grads = \
                 jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if axes is not None:
+                # Under shard_map, psum transposes to psum: because the
+                # loss is the psum'd GLOBAL objective, each shard's grad
+                # comes back as N x (its local contribution). pmean —
+                # not psum — therefore yields exactly the global
+                # gradient: (1/N) * sum_i N*g_i = sum_i g_i. Verified
+                # against the single-device step in
+                # tests/test_fused_stack.py::TestFusedDPExact and
+                # tests/test_train.py.
+                grads = jax.lax.pmean(grads, axes)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_bs, new_opt_state, loss, losses
 
         donate = (0, 1, 2)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..core.mesh import batch_spec
-            batch_sharding = NamedSharding(self.mesh, batch_spec(self.mesh))
-            repl = NamedSharding(self.mesh, P())
-            in_shardings = (repl, repl, repl, batch_sharding, batch_sharding,
-                            batch_sharding, batch_sharding, repl,
-                            batch_sharding, repl, repl)
-            self.train_step = jax.jit(train_step, donate_argnums=donate,
-                                      in_shardings=in_shardings)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            bspec = P(axes)
+            repl = P()
+            step = shard_map(
+                train_step, mesh=self.mesh,
+                in_specs=(repl, repl, repl, bspec, bspec, bspec, bspec,
+                          repl, bspec, repl, repl),
+                out_specs=(repl, repl, repl, repl, repl),
+                check_vma=False)
+            self.train_step = jax.jit(step, donate_argnums=donate)
         else:
             self.train_step = jax.jit(train_step, donate_argnums=donate)
         self._step_cache[key] = self.train_step
