@@ -118,25 +118,30 @@ def select_platform(platform=None):
     return p
 
 
-def enable_compilation_cache(path=None, min_compile_secs=0.5):
-    """Turn on JAX's persistent XLA compilation cache.
+def enable_compilation_cache(path=None, min_compile_secs=0.0, seed=True):
+    """Turn on JAX's persistent XLA compilation cache, pre-seeded.
 
     The deployment pipeline restarts per batch of scans; without a disk
     cache every cold process pays full XLA compilation of the model +
-    pipeline stages (~5 min on a tunneled v5e). Called by every entry
-    point (train.py, process_pipeline.py, bench.py, JobRunner).
+    pipeline stages (~15 min cold on a tunneled v5e, dominated by the
+    Mosaic kernel zoo). Called by every entry point (train.py,
+    process_pipeline.py, bench.py, JobRunner).
 
-    Cache location: $DRAM_TPU_CACHE_DIR, else `<repo>/.xla_cache`.
+    Cache location: $DRAM_TPU_CACHE_DIR, else `<repo>/.xla_cache`. That
+    directory is transient (gitignored); the repo carries pre-built
+    executables for the flagship geometry as xz-compressed entries in
+    `<repo>/warm_cache/` (built by tools/seed_xla_cache.py), and this
+    function unpacks any that are missing from the runtime cache — so a
+    fresh clone starts warm instead of paying the full cold compile.
     Returns the cache directory, or None when the running jax build does
     not support the persistent-cache config knobs.
     """
     import jax
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if path is None:
-        path = os.environ.get(
-            "DRAM_TPU_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".xla_cache"))
+        path = os.environ.get("DRAM_TPU_CACHE_DIR",
+                              os.path.join(root, ".xla_cache"))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
@@ -145,7 +150,39 @@ def enable_compilation_cache(path=None, min_compile_secs=0.5):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         return None
+    if seed and os.environ.get("DRAM_TPU_NO_SEED_CACHE", "0") != "1":
+        seed_compilation_cache(os.path.join(root, "warm_cache"), path)
     return path
+
+
+def seed_compilation_cache(seed_dir, cache_dir):
+    """Unpack tracked `warm_cache/*.xz` entries into the runtime cache.
+
+    Entries whose target file already exists are skipped; unpacking is
+    atomic (tmp file + rename) so concurrent processes cannot observe a
+    truncated executable. Key mismatches are harmless: an entry the
+    running jax/libtpu does not recognize is simply never requested.
+    Returns the number of entries unpacked.
+    """
+    import glob
+    import lzma
+
+    n = 0
+    for src in glob.glob(os.path.join(seed_dir, "*.xz")):
+        dst = os.path.join(cache_dir, os.path.basename(src)[:-3])
+        if os.path.exists(dst):
+            continue
+        try:
+            with lzma.open(src, "rb") as fin:
+                data = fin.read()
+            tmp = dst + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as fout:
+                fout.write(data)
+            os.replace(tmp, dst)
+            n += 1
+        except Exception:
+            continue
+    return n
 
 
 def get_callable_by_name(dotted_name):

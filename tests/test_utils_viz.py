@@ -113,3 +113,43 @@ class TestViz:
                                           titles=["cam"])
         assert os.path.exists(str(tmp_path / "contour.jpg"))
         assert os.path.exists(str(tmp_path / "heat.jpg"))
+
+
+class TestSeedCache:
+    """warm_cache seeding: tracked xz entries unpack into a fresh runtime
+    cache exactly once (tools/seed_xla_cache.py + utils.seed_compilation_cache)."""
+
+    def test_pack_unpack_roundtrip(self, tmp_path):
+        import lzma
+        from dram_tpu.utils import seed_compilation_cache
+
+        seed = tmp_path / "warm_cache"
+        cache = tmp_path / "runtime"
+        seed.mkdir()
+        cache.mkdir()
+        blobs = {"jit_stage2c-aaaa-cache": b"\x00executable\x01" * 1000,
+                 "jit_fwd-bbbb-cache": b"mosaic" * 50}
+        for name, data in blobs.items():
+            with lzma.open(seed / (name + ".xz"), "wb") as f:
+                f.write(data)
+        # pre-existing entry must not be clobbered
+        (cache / "jit_fwd-bbbb-cache").write_bytes(b"already-here")
+
+        n = seed_compilation_cache(str(seed), str(cache))
+        assert n == 1
+        assert (cache / "jit_stage2c-aaaa-cache").read_bytes() == \
+            blobs["jit_stage2c-aaaa-cache"]
+        assert (cache / "jit_fwd-bbbb-cache").read_bytes() == b"already-here"
+        # second call is a no-op
+        assert seed_compilation_cache(str(seed), str(cache)) == 0
+
+    def test_corrupt_entry_skipped(self, tmp_path):
+        from dram_tpu.utils import seed_compilation_cache
+
+        seed = tmp_path / "warm_cache"
+        cache = tmp_path / "runtime"
+        seed.mkdir()
+        cache.mkdir()
+        (seed / "bad-cache.xz").write_bytes(b"not xz at all")
+        assert seed_compilation_cache(str(seed), str(cache)) == 0
+        assert not (cache / "bad-cache").exists()
