@@ -11,14 +11,19 @@ because data-dependent shapes cannot trace.
 
 Deviations from the reference (documented):
 * The reference composes a random PERMUTATION of {rescale, flip, rot90}
-  (metrics.py:224-243); here the ops apply in a fixed order
-  (rescale, flip, rot90). Keep-probability (0.6 each) and the per-axis
-  rescale-size sampling from the configured pool match the reference,
-  drawn per CALL: the shape-changing rescale is re-drawn on host every
-  step (draw_rescale_static + trainer reseed) and the trainer swaps in
-  the jitted step cached for that size — one compile per distinct size,
-  reference cadence at static XLA shapes. The consistency contract
-  (identical T on both paths) is unchanged.
+  (metrics.py:224-243). Here the two shape-preserving ops (flip, rot90)
+  compose in a traced random order (lax.cond over both orderings, drawn
+  per call like the reference's permutation); the shape-CHANGING rescale
+  always applies first because XLA traces static shapes — a rescale in
+  the middle of the chain would make the rot90 branch shapes dynamic.
+  Keep-probability (0.6 each) and the per-axis rescale-size sampling
+  from the configured pool match the reference, drawn per CALL: the
+  rescale is re-drawn on host every step (draw_rescale_static + trainer
+  reseed) and the trainer swaps in the jitted step cached for that size —
+  one compile per distinct size, reference cadence at static XLA shapes.
+  The consistency contract (identical T on both paths) is unchanged; the
+  one remaining distributional difference is the rescale's position in
+  the permutation.
 * The reference's stale 3-output unpack (metrics.py:192,433,442) is fixed
   to the 2-head model contract; the "cls" consistency term of
   IntRegAffRefineLoss uses the refined head.
@@ -115,51 +120,68 @@ def draw_rescale_static(seed, pool):
 
 
 class OneShotTransform:
-    """A traced random composition: rescale? -> flip? -> rot90?.
+    """A traced random composition: rescale? -> perm(flip?, rot90?).
 
     Construction consumes a PRNG key; `__call__(x, is_reference)` applies
     the identical transform to any (B,D,H,W,C) tensor, so probs, lobes and
     images all go through the same T. The rescale op is static (epoch-drawn
     via draw_rescale_static); flip and rot90 are traced per step, each kept
-    with p=keep_prob like the reference (metrics.py:224-225).
+    with p=keep_prob and composed in a traced random ORDER, matching the
+    reference's random permutation draw (metrics.py:224-235) up to the
+    rescale's position (see module docstring).
     """
 
     def __init__(self, rng, rescale_size=None, keep_prob=0.6):
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         self.keep = jax.random.uniform(k1, (2,)) < keep_prob
         self.flip_variant = jax.random.randint(k2, (), 0, len(_FLIP_VARIANTS))
         self._rot_key = k3
+        # permutation of the two traced ops, uniform like the reference's
+        # random.sample over orderings (metrics.py:234-235)
+        self.flip_first = jax.random.bernoulli(k4)
         self.rescale_size = rescale_size  # static or None
 
     def __call__(self, x, is_reference=False):
         if self.rescale_size is not None:
             x = rescale3d_oneshot(x, self.rescale_size, is_reference)
-        x = jax.lax.cond(self.keep[0],
-                         lambda v: jax.lax.switch(
-                             self.flip_variant,
-                             [lambda u, i=i: flip3d_oneshot(u, i)
-                              for i in range(len(_FLIP_VARIANTS))], v),
-                         lambda v: v, x)
         allowed = _shape_preserving_rot_variants(x.shape[1:4])
         rot_idx = jax.random.randint(self._rot_key, (), 0, len(allowed))
-        x = jax.lax.cond(self.keep[1],
-                         lambda v: jax.lax.switch(
-                             rot_idx,
-                             [lambda u, i=i: rot903d_oneshot(u, i)
-                              for i in allowed], v),
-                         lambda v: v, x)
-        return x
+
+        def do_flip(v):
+            return jax.lax.cond(self.keep[0],
+                                lambda u: jax.lax.switch(
+                                    self.flip_variant,
+                                    [lambda w, i=i: flip3d_oneshot(w, i)
+                                     for i in range(len(_FLIP_VARIANTS))], u),
+                                lambda u: u, v)
+
+        def do_rot(v):
+            return jax.lax.cond(self.keep[1],
+                                lambda u: jax.lax.switch(
+                                    rot_idx,
+                                    [lambda w, i=i: rot903d_oneshot(w, i)
+                                     for i in allowed], u),
+                                lambda u: u, v)
+
+        # both ops preserve shape (the rot pool is trimmed on non-cubic
+        # grids), so the two orderings trace to identical output shapes
+        return jax.lax.cond(self.flip_first,
+                            lambda v: do_rot(do_flip(v)),
+                            lambda v: do_flip(do_rot(v)), x)
 
 
-def smooth_l1_masked(a, b, mask, beta=1.0, sample_weight=None):
-    """torch F.smooth_l1_loss over masked elements (mean reduction)."""
+def smooth_l1_masked(a, b, mask, beta=1.0, sample_weight=None,
+                     axis_name=None):
+    """torch F.smooth_l1_loss over masked elements (mean reduction;
+    global under shard_map when `axis_name` is set)."""
+    from ..core.ops import gsum
     d = jnp.abs(a - b)
     loss = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
     m = mask.astype(loss.dtype)
     if sample_weight is not None:
         m = m * sample_weight.astype(m.dtype).reshape(
             (-1,) + (1,) * (m.ndim - 1))
-    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1e-12)
+    return gsum(loss * m, axis_name) / jnp.maximum(gsum(m, axis_name), 1e-12)
 
 
 class IntRegAffLoss(IntRegLoss):
@@ -190,7 +212,8 @@ class IntRegAffLoss(IntRegLoss):
         return OneShotTransform(rng, rescale_size=self._static_rescale_size)
 
     def __call__(self, model_fn, images, lobes, lesions, ctsses,
-                 ctss_frequency=None, rng=None, sample_weight=None, **kwargs):
+                 ctss_frequency=None, rng=None, sample_weight=None,
+                 axis_name=None, **kwargs):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         T = self._transform(rng, images.shape[1:4])
@@ -202,18 +225,19 @@ class IntRegAffLoss(IntRegLoss):
         probs = jax.nn.sigmoid(dense_outs)
         reg_loss = compute_reg_loss_with_probs(
             probs, lobes, lesions, ctsses, self.band_width, ctss_frequency,
-            sample_weight)
-        enc_loss = compute_enc_loss(probs, sample_weight)
+            sample_weight, axis_name)
+        enc_loss = compute_enc_loss(probs, sample_weight, axis_name)
 
         aff_dense, _ = model_fn(aff_images, aff_lobes)
         aff_probs = jax.nn.sigmoid(aff_dense)
         aff_reg_loss = compute_reg_loss_with_probs(
             aff_probs, aff_lobes, aff_lesions, ctsses, self.band_width,
-            ctss_frequency, sample_weight)
+            ctss_frequency, sample_weight, axis_name)
 
         probs_T = T(probs)
         aff_loss = smooth_l1_masked(probs_T, aff_probs, aff_lobes > 0,
-                                    sample_weight=sample_weight)
+                                    sample_weight=sample_weight,
+                                    axis_name=axis_name)
         ce_loss = (reg_loss + aff_reg_loss) / 2.0
         return ce_loss, aff_loss, enc_loss
 
@@ -232,7 +256,8 @@ class IntRegAffRefineLoss(IntRegAffLoss):
                                          refine_method=refine_method)
 
     def __call__(self, model_fn, images, lobes, lesions, ctsses,
-                 ctss_frequency=None, rng=None, sample_weight=None, **kwargs):
+                 ctss_frequency=None, rng=None, sample_weight=None,
+                 axis_name=None, **kwargs):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         T = self._transform(rng, images.shape[1:4])
@@ -244,28 +269,30 @@ class IntRegAffRefineLoss(IntRegAffLoss):
         probs = jax.nn.sigmoid(dense_outs)
         reg_loss = compute_reg_loss_with_probs(
             probs, lobes, lesions, ctsses, self.band_width, ctss_frequency,
-            sample_weight)
+            sample_weight, axis_name)
 
         aff_dense, aff_refined = model_fn(aff_images, aff_lobes)
         aff_probs = jax.nn.sigmoid(aff_dense)
         aff_reg_loss = compute_reg_loss_with_probs(
             aff_probs, aff_lobes, aff_lesions, ctsses, self.band_width,
-            ctss_frequency, sample_weight)
+            ctss_frequency, sample_weight, axis_name)
 
         probs_T = T(probs)
         refined_T = T(refined_dense_outs)
         inside = aff_lobes > 0
         aff_loss = smooth_l1_masked(probs_T, aff_probs, inside,
-                                    sample_weight=sample_weight)
+                                    sample_weight=sample_weight,
+                                    axis_name=axis_name)
         aff_loss_cls = smooth_l1_masked(refined_T, aff_refined, inside,
-                                        sample_weight=sample_weight)
+                                        sample_weight=sample_weight,
+                                        axis_name=axis_name)
 
         seg_loss = self.seg_loss.compute_seg_loss(
             dense_outs, refined_dense_outs, lobes, lesions, ctsses,
-            sample_weight)
+            sample_weight, axis_name)
         seg_aff_loss = self.seg_loss.compute_seg_loss(
             aff_dense, aff_refined, aff_lobes, aff_lesions, ctsses,
-            sample_weight)
+            sample_weight, axis_name)
 
         return ((reg_loss + aff_reg_loss) / 2.0,
                 (aff_loss + aff_loss_cls) / 2.0,

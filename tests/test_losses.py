@@ -331,3 +331,45 @@ class TestOneShotReferenceOracle:
         for seed in range(6):
             T = OneShotTransform(jax.random.PRNGKey(seed))
             assert T(x).shape == x.shape
+
+    def test_composition_order_matches_torch(self, rng):
+        """The traced flip/rot90 ORDER matches the reference's random
+        permutation draw (metrics.py:234-239): for every drawn T the
+        output equals the torch ops composed in T's drawn order, and both
+        orderings occur across seeds."""
+        from dram_tpu.losses.equivariance import (
+            OneShotTransform, _FLIP_VARIANTS, _ROT_VARIANTS,
+            _shape_preserving_rot_variants)
+        x = rng.normal(size=(2, 6, 6, 6, 1)).astype(np.float32)
+        allowed = _shape_preserving_rot_variants((6, 6, 6))
+        orders_seen = set()
+        for seed in range(12):
+            T = OneShotTransform(jax.random.PRNGKey(seed))
+            got = np.asarray(T(jnp.asarray(x)))
+
+            keep = np.asarray(T.keep)
+            rot_idx = int(jax.random.randint(T._rot_key, (), 0,
+                                             len(allowed)))
+            flip_first = bool(T.flip_first)
+            orders_seen.add(flip_first)
+
+            t = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # NCDHW
+
+            def tflip(v):
+                if not keep[0]:
+                    return v
+                axes = _FLIP_VARIANTS[int(T.flip_variant)]
+                return torch.flip(v, tuple(a + 1 for a in axes))
+
+            def trot(v):
+                if not keep[1]:
+                    return v
+                k, ax = _ROT_VARIANTS[allowed[rot_idx]]
+                return torch.rot90(v, k, (ax[0] + 1, ax[1] + 1))
+
+            t = trot(tflip(t)) if flip_first else tflip(trot(t))
+            want = t.numpy().transpose(0, 2, 3, 4, 1)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"seed {seed}")
+        assert orders_seen == {True, False}, \
+            "both flip/rot90 orderings must occur"
