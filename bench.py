@@ -89,6 +89,13 @@ def main():
 
     enable_compilation_cache()
     t_setup = time.time()
+    t_last = [t_setup]
+
+    def mark(what):
+        t = time.time()
+        print(f"# setup: {what} +{t - t_last[0]:.1f}s (t={t - t_setup:.1f}s)",
+              file=sys.stderr)
+        t_last[0] = t
     mixed = os.environ.get("BENCH_MIXED", "0") == "1"
     span = (-1000, -700)
     n_scans = int(os.environ.get("BENCH_SCANS",
@@ -99,8 +106,13 @@ def main():
     if mixed:
         geoms = list(MIXED_GEOMS)
     else:
+        # three DISTINCT geometries by default (shape-heterogeneous like a
+        # real worklist); with the pre/model/post stage split only the two
+        # cheap XLA stages recompile per geometry — all are warmed before
+        # the clock, so this measures warm steady state over mixed shapes
         geoms = [((400, 512, 512), (0.8, 0.7, 0.7)),
-                 ((400, 512, 512), (0.8, 0.7, 0.7))]
+                 ((352, 512, 512), (0.9, 0.7, 0.7)),
+                 ((448, 512, 512), (0.6, 0.6, 0.6))]
 
     # overlap: synth of later geometries on a worker while the
     # (remote-compile-bound) pipeline build + warmup run
@@ -108,7 +120,9 @@ def main():
     later = [setup_pool.submit(synth_scan, g[0], seed)
              for seed, g in enumerate(geoms[1:], start=1)]
     scans = [synth_scan(geoms[0][0], seed=0) + (geoms[0][1],)]
+    mark("synth scan 0")
     pipe = build_pipeline()
+    mark("backend init + model init")
 
     import jax
 
@@ -128,17 +142,22 @@ def main():
             return pipe.process_chunks(prep, unpack=unpack)
         return pipe.process_prepped(prep, unpack=unpack)
 
-    # warmup. Default mode: compile/load all stages for BOTH cached scan
-    # geometries so the timed loop sees no residual compile stalls. Mixed
+    # warmup. Default mode: compile/load all stages for EVERY cached scan
+    # geometry so the timed loop sees no residual compile stalls. Mixed
     # mode: warm ONLY the first geometry — the other five hit the timed
     # loop cold, which is the point.
-    out = run_device(prep_and_upload(*scans[0]), True)
+    prep0 = prep_and_upload(*scans[0])
+    mark("host prep scan 0")
+    out = run_device(prep0, True)
+    mark("pipeline compile + warmup scan 0")
     for f, g in zip(later, geoms[1:]):
         scans.append(f.result() + (g[1],))
     assert out["pred"].shape == geoms[0][0]
     if not mixed:
-        out1 = run_device(prep_and_upload(*scans[1]), False)
-        np.asarray(out1.get("masks_packed", out1["pred_packed"]))
+        for k in range(1, len(scans)):
+            outk = run_device(prep_and_upload(*scans[k]), False)
+            np.asarray(outk.get("masks_packed", outk["pred_packed"]))
+            mark(f"warmup scan {k} (geometry {geoms[k][0]})")
     print(f"# setup+compile {time.time() - t_setup:.1f}s; "
           f"pred voxels {int(out['pred'].sum())}", file=sys.stderr)
 

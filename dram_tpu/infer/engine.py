@@ -111,13 +111,15 @@ class LesionSegTest:
                 pad_value=float(s.PAD_VALUE))
         return self._fast_pipe
 
-    def process_scan_fast(self, scan_data):
+    def process_scan_fast(self, scan_data, device=None):
         """Fast path: host prep (C++ iso resample + wire packing) + the
         batched all-device pipeline; outputs arrive at the original grid.
 
         FAST_WIRE selects the host->device wire: "wc" (default — per-lobe
         chunk extraction on host, ~10 MB/scan) or "w8" (whole windowed
-        lung window, ~40 MB/scan; all prep math on device)."""
+        lung window, ~40 MB/scan; all prep math on device). With `device`
+        (scan-level multi-chip parallelism, wc wire) the whole scan runs
+        committed to that chip."""
         from ..data.hostprep import prep_scan
         from .fast import prep_scan_chunks
         s = self.settings
@@ -132,7 +134,9 @@ class LesionSegTest:
                 pad_value=float(s.PAD_VALUE), vessel_u8=vessel,
                 windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX),
                 chunk_size=tuple(s.RESAMPLE_SIZE))
-            out = self._fast().process_chunks(prep, want_heatmap=True)
+            pipe = self._fast()
+            pipe.upload_chunks_prep(prep, device=device)
+            out = pipe.process_chunks(prep, want_heatmap=True)
         else:
             prep = prep_scan(
                 scan_data["#image"].astype(np.int16),
@@ -307,9 +311,85 @@ class LesionSegTest:
         except Exception as e:
             self.logger.warning(f"screenshot failed for {uid}: {e}")
 
+    def _shard_count(self):
+        """Scan-level parallelism width: SHARD_SCANS setting (or the
+        DRAM_SHARD_SCANS env / process_pipeline --shard flag setting it);
+        0/1 = serial, -1 = all local devices. Only the fast wc path places
+        per-scan work on distinct chips, so sharding requires it."""
+        n = int(getattr(self.settings, "SHARD_SCANS",
+                        os.environ.get("DRAM_SHARD_SCANS", "0")) or 0)
+        if n == -1:
+            n = jax.local_device_count()
+        n = max(1, min(n, jax.local_device_count()))
+        if n > 1 and not self.use_fast_path:
+            self.logger.warning("SHARD_SCANS needs the fast path; serial.")
+            return 1
+        if n > 1 and str(getattr(self.settings, "FAST_WIRE", "wc")) != "wc":
+            self.logger.warning("SHARD_SCANS needs FAST_WIRE='wc'; serial.")
+            return 1
+        return n
+
+    def _run_one(self, scan_idx, uid, device=None):
+        """One scan: load -> infer (optionally committed to `device`) ->
+        score -> archive. Returns (records row, cls_preds, cls_targets).
+        Thread-safe: touches no shared mutable state (the stage caches are
+        guarded by the GIL and per-uid output paths never collide)."""
+        scan_data = self.test_set[scan_idx]
+        meta = scan_data["meta"]
+        if self.use_fast_path:
+            out = self.process_scan_fast(scan_data, device=device)
+        else:
+            out = self.process_scan(scan_data)
+
+        if self.use_fast_path:
+            # fast-path outputs are already at the original grid
+            pred = out["pred"].astype(np.uint8)
+            post = out["post"].astype(np.uint8)
+            heat = out["heatmap"]
+            scan_b = scan_data["#image"].astype(np.float32)
+        else:
+            # resample everything back to the original grid
+            spacing = list(np.asarray(meta["spacing"]).flatten())
+            orig_spacing = list(
+                np.asarray(meta["original_spacing"]).flatten())
+            orig_size = [int(v) for v in
+                         np.asarray(meta["original_size"]).flatten()]
+            pred, _ = T.resample_array(out["pred"], spacing,
+                                       orig_spacing, orig_size, "nearest")
+            post, _ = T.resample_array(out["post"], spacing,
+                                       orig_spacing, orig_size, "nearest")
+            heat, _ = T.resample_array(out["heatmap"], spacing,
+                                       orig_spacing, orig_size, "linear")
+            scan_b, _ = T.resample_array(
+                scan_data["#image"].astype(np.float32), spacing,
+                orig_spacing, orig_size, "linear")
+            pred = pred.astype(np.uint8)
+            post = post.astype(np.uint8)
+
+        row = {"uid": uid}
+        ref = None
+        if self.has_references and "#lesion_reference" in scan_data:
+            if self.use_fast_path:
+                lesion = scan_data["#lesion_reference"]
+            else:
+                lesion, _ = T.resample_array(
+                    scan_data["#lesion_reference"], spacing,
+                    orig_spacing, orig_size, "nearest")
+            ref = (lesion > 0).astype(np.uint8)
+            iou, dice = _np_metrics(pred > 0, ref > 0)
+            iou_p, dice_p = _np_metrics(post > 0, ref > 0)
+            acc = float(np.mean(np.asarray(out["cls_preds"]) ==
+                                np.asarray(out["cls_targets"]))) \
+                if out["cls_targets"] else float("nan")
+            row.update({"iou": iou, "iou_post": iou_p, "dice": dice,
+                        "dice_post": dice_p, "acc": acc})
+            self.logger.info(f"scan {uid}: iou {iou:.4f}, "
+                             f"iou_post {iou_p:.4f}, dice {dice:.4f}")
+        self.archive_results(scan_b, heat, pred, post, ref, meta)
+        return row, out["cls_preds"], out["cls_targets"]
+
     def run(self):
         import pandas as pd
-        s = self.settings
         if self.output_path is None:
             st = self.saved_model_states
             self.output_path = os.path.join(
@@ -336,78 +416,62 @@ class LesionSegTest:
             else pd.DataFrame(columns=["uid"])
         scan_timer = AverageMeter()
         all_cls_preds, all_cls_targets = [], []
-        for scan_idx in range(len(self.test_set)):
-            uid = self.test_set.uids[scan_idx]
-            try:
-                start = time.time()
-                scan_data = self.test_set[scan_idx]
-                meta = scan_data["meta"]
-                if self.use_fast_path:
-                    out = self.process_scan_fast(scan_data)
-                else:
-                    out = self.process_scan(scan_data)
-                all_cls_preds.extend(out["cls_preds"])
-                all_cls_targets.extend(out["cls_targets"])
 
-                if self.use_fast_path:
-                    # fast-path outputs are already at the original grid
-                    pred = out["pred"].astype(np.uint8)
-                    post = out["post"].astype(np.uint8)
-                    heat = out["heatmap"]
-                    scan_b = scan_data["#image"].astype(np.float32)
-                else:
-                    # resample everything back to the original grid
-                    spacing = list(np.asarray(meta["spacing"]).flatten())
-                    orig_spacing = list(
-                        np.asarray(meta["original_spacing"]).flatten())
-                    orig_size = [int(v) for v in
-                                 np.asarray(meta["original_size"]).flatten()]
-                    pred, _ = T.resample_array(out["pred"], spacing,
-                                               orig_spacing, orig_size,
-                                               "nearest")
-                    post, _ = T.resample_array(out["post"], spacing,
-                                               orig_spacing, orig_size,
-                                               "nearest")
-                    heat, _ = T.resample_array(out["heatmap"], spacing,
-                                               orig_spacing, orig_size,
-                                               "linear")
-                    scan_b, _ = T.resample_array(
-                        scan_data["#image"].astype(np.float32), spacing,
-                        orig_spacing, orig_size, "linear")
-                    pred = pred.astype(np.uint8)
-                    post = post.astype(np.uint8)
+        def handle(scan_idx, uid, device=None):
+            start = time.time()
+            row, preds, targets = self._run_one(scan_idx, uid, device)
+            return row, preds, targets, time.time() - start
 
-                row = {"uid": uid}
-                ref = None
-                if self.has_references and "#lesion_reference" in scan_data:
-                    if self.use_fast_path:
-                        lesion = scan_data["#lesion_reference"]
-                    else:
-                        lesion, _ = T.resample_array(
-                            scan_data["#lesion_reference"], spacing,
-                            orig_spacing, orig_size, "nearest")
-                    ref = (lesion > 0).astype(np.uint8)
-                    iou, dice = _np_metrics(pred > 0, ref > 0)
-                    iou_p, dice_p = _np_metrics(post > 0, ref > 0)
-                    acc = float(np.mean(np.asarray(out["cls_preds"]) ==
-                                        np.asarray(out["cls_targets"]))) \
-                        if out["cls_targets"] else float("nan")
-                    row.update({"iou": iou, "iou_post": iou_p, "dice": dice,
-                                "dice_post": dice_p, "acc": acc})
-                    self.logger.info(f"scan {uid}: iou {iou:.4f}, "
-                                     f"iou_post {iou_p:.4f}, dice {dice:.4f}")
-                self.archive_results(scan_b, heat, pred, post, ref, meta)
+        n_shard = self._shard_count()
+        if n_shard > 1:
+            # scan-level multi-chip parallelism: N scans in flight, each
+            # committed to its own chip (wc-wire device placement); rows
+            # are collected in completion order, per-scan isolation kept
+            from concurrent.futures import ThreadPoolExecutor
+            devices = jax.local_devices()[:n_shard]
+            self.logger.info(f"scan-sharded inference over {len(devices)} "
+                             f"devices: {[str(d) for d in devices]}")
+            results = []
+            with ThreadPoolExecutor(len(devices)) as pool:
+                futs = {pool.submit(handle, i, self.test_set.uids[i],
+                                    devices[i % len(devices)]): i
+                        for i in range(len(self.test_set))}
+                from concurrent.futures import as_completed
+                for fut in as_completed(futs):
+                    i = futs[fut]
+                    uid = self.test_set.uids[i]
+                    try:
+                        results.append(fut.result())
+                    except Exception:
+                        self.logger.error(f"Cannot process scan {i} ({uid}):"
+                                          f" {traceback.format_exc()}")
+            for row, preds, targets, dt in results:
+                all_cls_preds.extend(preds)
+                all_cls_targets.extend(targets)
+                scan_timer.update(dt)
                 self.scan_records = pd.concat(
                     [self.scan_records, pd.DataFrame([row])],
                     ignore_index=True)
-                if scan_idx % 5 == 0 or scan_idx == len(self.test_set) - 1:
-                    self.scan_records.to_csv(rec_file, index=False)
-                dt = time.time() - start
-                scan_timer.update(dt)
-                self.logger.info(f"Finished {scan_idx} ({uid}) in {dt:.2f}s.")
-            except Exception:
-                self.logger.error(f"Cannot process scan {scan_idx} ({uid}): "
-                                  f"{traceback.format_exc()}")
+            self.scan_records.to_csv(rec_file, index=False)
+        else:
+            for scan_idx in range(len(self.test_set)):
+                uid = self.test_set.uids[scan_idx]
+                try:
+                    row, preds, targets, dt = handle(scan_idx, uid)
+                    all_cls_preds.extend(preds)
+                    all_cls_targets.extend(targets)
+                    scan_timer.update(dt)
+                    self.scan_records = pd.concat(
+                        [self.scan_records, pd.DataFrame([row])],
+                        ignore_index=True)
+                    if scan_idx % 5 == 0 or \
+                            scan_idx == len(self.test_set) - 1:
+                        self.scan_records.to_csv(rec_file, index=False)
+                    self.logger.info(f"Finished {scan_idx} ({uid}) "
+                                     f"in {dt:.2f}s.")
+                except Exception:
+                    self.logger.error(f"Cannot process scan {scan_idx} "
+                                      f"({uid}): {traceback.format_exc()}")
 
         if all_cls_targets:
             import pandas as pd

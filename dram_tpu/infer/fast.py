@@ -129,39 +129,58 @@ def gather_resize(x, weights):
     return x
 
 
-def _wire_layout(n_lobes, chunk, bucket, iso_shape, o_shape):
-    """Static layout of the three coalesced chunk-wire blobs.
+def _layout_seq(entries):
+    off, pos = {}, 0
+    for name, shape in entries:
+        off[name] = (pos, tuple(int(s) for s in shape))
+        pos += int(np.prod(shape))
+    return off, pos
 
-    Every per-scan H2D operand of stage2c — model chunks, bit masks and
-    all resize/gather tables — is packed into ONE u8, ONE i32 and ONE f32
-    vector, so a scan costs 3 device_put RPCs instead of ~25 (each RPC
-    has fixed multi-ms latency on tunneled/remote TPU links, and the prep
-    thread pays it serially). The layout is a pure function of the shape
-    key, so the host packer and the traced unpacker can't drift.
+
+def _wire_layout_m(n_lobes, chunk, bucket):
+    """Static layout of the MODEL-side chunk-wire blobs (consumed by the
+    bucket-keyed pre stage): windowed-u8 model chunks, 1-bit lobe bucket
+    masks, and the crop->chunk forward-resize gather tables.
+
+    The wire is split in two (model-side here, stitch-side in
+    _wire_layout_s) so the expensive Mosaic program sees only fixed
+    chunk-shaped operands: its compiled executable is then geometry-
+    INDEPENDENT and one persistent-cache entry serves every scan geometry
+    (the stitch-side shapes — iso grid, output grid — only key the cheap
+    pure-XLA stages). Each side coalesces into one u8/i32/f32 vector so a
+    scan costs few device_put RPCs (fixed multi-ms latency each on
+    tunneled links). The layout is a pure function of the shape key, so
+    the host packer and the traced unpacker can't drift.
 
     Returns ((offsets, total) for u8, i32, f32); offsets maps
     name -> (position, shape)."""
-    def seq(entries):
-        off, pos = {}, 0
-        for name, shape in entries:
-            off[name] = (pos, tuple(int(s) for s in shape))
-            pos += int(np.prod(shape))
-        return off, pos
-
     n = n_lobes
     u8 = [("x80", (n,) + tuple(chunk)),
-          ("lobe_bits", (-(-n * int(np.prod(bucket)) // 8),)),
-          ("cand_bits", (-(-int(np.prod(iso_shape)) // 8),))]
+          ("lobe_bits", (-(-n * int(np.prod(bucket)) // 8),))]
+    i32, f32 = [], []
+    for ax in range(3):
+        i32.append((f"fw_lo{ax}", (n, chunk[ax])))
+        i32.append((f"fw_hi{ax}", (n, chunk[ax])))
+        f32.append((f"fw_fr{ax}", (n, chunk[ax])))
+    return _layout_seq(u8), _layout_seq(i32), _layout_seq(f32)
+
+
+def _wire_layout_s(n_lobes, bucket, iso_shape, o_shape):
+    """Stitch-side chunk-wire blobs (consumed by the geometry-keyed post
+    stage): the 1-bit post-rule candidate, stitch coordinates, the
+    chunk->bucket backward-resize tables and the iso->output nearest
+    gather tables. See _wire_layout_m."""
+    n = n_lobes
+    u8 = [("cand_bits", (-(-int(np.prod(iso_shape)) // 8),))]
     i32 = [("starts", (n, 3)), ("box_lo", (n, 3)), ("box_sz", (n, 3)),
            ("gz", (o_shape[0],)), ("gy", (o_shape[1],)),
            ("gx", (o_shape[2],))]
     f32 = [("present", (n,))]
-    for kind, lens in (("fw", chunk), ("bw", bucket)):
-        for ax in range(3):
-            i32.append((f"{kind}_lo{ax}", (n, lens[ax])))
-            i32.append((f"{kind}_hi{ax}", (n, lens[ax])))
-            f32.append((f"{kind}_fr{ax}", (n, lens[ax])))
-    return seq(u8), seq(i32), seq(f32)
+    for ax in range(3):
+        i32.append((f"bw_lo{ax}", (n, bucket[ax])))
+        i32.append((f"bw_hi{ax}", (n, bucket[ax])))
+        f32.append((f"bw_fr{ax}", (n, bucket[ax])))
+    return _layout_seq(u8), _layout_seq(i32), _layout_seq(f32)
 
 
 def _pack_blob(layout, arrays, dtype):
@@ -214,6 +233,24 @@ class FastScanPipeline:
         self._stage1 = {}
         self._stage2 = {}
         self._stage3 = {}
+        self._dev_params = {}
+
+    def _params_on(self, device):
+        """(params, batch_stats) committed to `device` (cached per device).
+
+        Scan-level multi-chip parallelism: each in-flight scan's blobs are
+        device_put to its assigned chip (upload_chunks_prep(device=...)),
+        jit then executes every stage on that chip because the inputs are
+        committed there — N scans run concurrently on N chips with no
+        cross-chip traffic (SURVEY §2.7 spatial-parallelism row; the
+        per-scan weights copy is cached)."""
+        if device is None:
+            return self.params, self.batch_stats
+        if device not in self._dev_params:
+            self._dev_params[device] = (
+                jax.device_put(self.params, device),
+                jax.device_put(self.batch_stats, device))
+        return self._dev_params[device]
 
     # -- stage 1: iso resample ------------------------------------------
     def _get_stage1(self, in_shape, iso_shape, scales):
@@ -575,48 +612,78 @@ class FastScanPipeline:
         return out
 
     # -- chunk wire ("wc"): host-extracted chunks, minimal H2D ----------
-    def _get_stage2c(self, iso_shape, bucket, o_shape, want_heatmap):
-        key = ("wc", iso_shape, bucket, o_shape, want_heatmap)
+    #
+    # Three programs instead of one monolith: pre (bucket-keyed, cheap
+    # XLA), model (NO geometry in the key — the heavy Mosaic executable
+    # compiles/loads exactly once and serves every scan geometry), post
+    # (geometry-keyed, cheap XLA). Intermediates stay on device.
+    def _get_stage2pre(self, bucket):
+        key = ("wcp", bucket)
         if key in self._stage2:
             return self._stage2[key]
-        model_eval = self.model_eval
         chunk = self.chunk_size
         n_lobes = self.n_lobes
-        lay_u8, lay_i32, lay_f32 = _wire_layout(n_lobes, chunk, bucket,
-                                                iso_shape, o_shape)
+        lay_u8, lay_i32, lay_f32 = _wire_layout_m(n_lobes, chunk, bucket)
 
         @jax.jit
-        def stage2c(params, batch_stats, u8b, i32b, f32b):
-            def gi(name):
-                return _blob_get(i32b, lay_i32, name)
-
-            def gf(name):
-                return _blob_get(f32b, lay_f32, name)
-
-            starts = gi("starts")
-            box_lo, box_sz = gi("box_lo"), gi("box_sz")
-            gz, gy, gx = gi("gz"), gi("gy"), gi("gx")
-            lobe_present = gf("present")
-            fw = ([gi(f"fw_lo{ax}") for ax in range(3)],
-                  [gi(f"fw_hi{ax}") for ax in range(3)],
-                  [gf(f"fw_fr{ax}") for ax in range(3)])
-            bw = ([gi(f"bw_lo{ax}") for ax in range(3)],
-                  [gi(f"bw_hi{ax}") for ax in range(3)],
-                  [gf(f"bw_fr{ax}") for ax in range(3)])
+        def stage2pre(u8b, i32b, f32b):
+            fw = ([_blob_get(i32b, lay_i32, f"fw_lo{ax}") for ax in range(3)],
+                  [_blob_get(i32b, lay_i32, f"fw_hi{ax}") for ax in range(3)],
+                  [_blob_get(f32b, lay_f32, f"fw_fr{ax}") for ax in range(3)])
             lmask = unpackbits_u8_dev(_blob_get(u8b, lay_u8, "lobe_bits"),
                                       (n_lobes, *bucket))
             x80 = _blob_get(u8b, lay_u8, "x80").astype(jnp.float32) / 255.0
             l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
+            return x80, l80.astype(jnp.float32), lmask
 
+        self._stage2[key] = stage2pre
+        return stage2pre
+
+    def _get_stage2model(self):
+        """The heavy stage: model forward on the fixed (n_lobes, *chunk)
+        batch + per-lobe ratio. Its jit key carries NO scan geometry, so
+        one compiled executable (and one warm-cache entry) covers every
+        iso grid / bucket / output shape."""
+        key = ("wcm",)
+        if key in self._stage2:
+            return self._stage2[key]
+        model_eval = self.model_eval
+
+        @jax.jit
+        def stage2model(params, batch_stats, x80, l80f):
             dense, refined = model_eval.apply(
                 {"params": params, "batch_stats": batch_stats},
-                x80[..., None], l80[..., None].astype(jnp.float32))
+                x80[..., None], l80f[..., None])
             out = refined[..., 0].astype(jnp.float32)
-
             probs = jax.nn.sigmoid(out)
-            lm = l80.astype(jnp.float32)
-            ratio = jnp.sum(probs * lm, (1, 2, 3)) / \
-                jnp.maximum(jnp.sum(lm, (1, 2, 3)), 1.0)
+            ratio = jnp.sum(probs * l80f, (1, 2, 3)) / \
+                jnp.maximum(jnp.sum(l80f, (1, 2, 3)), 1.0)
+            return out, ratio
+
+        self._stage2[key] = stage2model
+        return stage2model
+
+    def _get_stage2post(self, iso_shape, bucket, o_shape, want_heatmap):
+        key = ("wcs", iso_shape, bucket, o_shape, want_heatmap)
+        if key in self._stage2:
+            return self._stage2[key]
+        n_lobes = self.n_lobes
+        lay_u8, lay_i32, lay_f32 = _wire_layout_s(n_lobes, bucket,
+                                                  iso_shape, o_shape)
+
+        @jax.jit
+        def stage2post(out, ratio, lmask, u8b, i32b, f32b):
+            def gi(name):
+                return _blob_get(i32b, lay_i32, name)
+
+            starts = gi("starts")
+            box_lo, box_sz = gi("box_lo"), gi("box_sz")
+            gz, gy, gx = gi("gz"), gi("gy"), gi("gx")
+            lobe_present = _blob_get(f32b, lay_f32, "present")
+            bw = ([gi(f"bw_lo{ax}") for ax in range(3)],
+                  [gi(f"bw_hi{ax}") for ax in range(3)],
+                  [_blob_get(f32b, lay_f32, f"bw_fr{ax}")
+                   for ax in range(3)])
             nonzero_cls = (ratio >= CTSS_RATIO_UB[0]).astype(jnp.float32)
 
             # reference order (job_runner.py:993-997): resize the RAW
@@ -668,53 +735,76 @@ class FastScanPipeline:
                 outs = outs + (heat_u8,)
             return outs
 
-        self._stage2[key] = stage2c
-        return stage2c
+        self._stage2[key] = stage2post
+        return stage2post
 
-    def upload_chunks_prep(self, prepc):
-        """Pack every wire and table of a chunk prep into the three
-        coalesced blobs (_wire_layout) and device-put them. Call from a
-        prep thread so the dispatch loop does no H2D or table work (the
-        deploy host is single-core; main-thread GIL time is throughput,
-        and each device_put RPC costs fixed latency on tunneled links)."""
+    def upload_chunks_prep(self, prepc, device=None):
+        """Pack every wire and table of a chunk prep into the coalesced
+        model-side and stitch-side blobs (_wire_layout_m/_s) and
+        device-put them (onto `device` when given — scan-level multi-chip
+        parallelism; process_chunks follows the blobs' placement). Call
+        from a prep thread so the dispatch loop does no H2D or table work
+        (the deploy host is single-core; main-thread GIL time is
+        throughput, and each device_put RPC costs fixed latency on
+        tunneled links)."""
         o_lo, o_shape, tables = self._back_gather_tables(
             tuple(prepc["out_shape"]),
             np.asarray(prepc["spacing"]) / prepc["iso_spacing"],
             np.asarray(prepc["crop_lo"]), prepc["iso_shape"])
         prepc["_back"] = (o_lo, o_shape)
-        lay_u8, lay_i32, lay_f32 = _wire_layout(
-            self.n_lobes, self.chunk_size, prepc["bucket"],
-            prepc["iso_shape"], o_shape)
+        m_u8, m_i32, m_f32 = _wire_layout_m(
+            self.n_lobes, self.chunk_size, prepc["bucket"])
+        s_u8, s_i32, s_f32 = _wire_layout_s(
+            self.n_lobes, prepc["bucket"], prepc["iso_shape"], o_shape)
         fw, bw = prepc["fw"], prepc["bw"]
-        i32 = {"starts": prepc["starts"], "box_lo": prepc["offsets"],
-               "box_sz": prepc["sizes"], "gz": tables[0], "gy": tables[1],
-               "gx": tables[2]}
-        f32 = {"present": prepc["present"]}
-        for kind, t in (("fw", fw), ("bw", bw)):
-            for ax in range(3):
-                i32[f"{kind}_lo{ax}"] = t[0][ax]
-                i32[f"{kind}_hi{ax}"] = t[1][ax]
-                f32[f"{kind}_fr{ax}"] = t[2][ax]
-        prepc["_dev"] = [
-            jnp.asarray(_pack_blob(lay_u8, {
-                "x80": prepc["x80_u8"], "lobe_bits": prepc["lobe_bits"],
-                "cand_bits": prepc["cand_bits"]}, np.uint8)),
-            jnp.asarray(_pack_blob(lay_i32, i32, np.int32)),
-            jnp.asarray(_pack_blob(lay_f32, f32, np.float32))]
+        mi32, mf32 = {}, {}
+        si32 = {"starts": prepc["starts"], "box_lo": prepc["offsets"],
+                "box_sz": prepc["sizes"], "gz": tables[0], "gy": tables[1],
+                "gx": tables[2]}
+        sf32 = {"present": prepc["present"]}
+        for ax in range(3):
+            mi32[f"fw_lo{ax}"], mi32[f"fw_hi{ax}"] = fw[0][ax], fw[1][ax]
+            mf32[f"fw_fr{ax}"] = fw[2][ax]
+            si32[f"bw_lo{ax}"], si32[f"bw_hi{ax}"] = bw[0][ax], bw[1][ax]
+            sf32[f"bw_fr{ax}"] = bw[2][ax]
+        def put(x):
+            return jnp.asarray(x) if device is None \
+                else jax.device_put(x, device)
+
+        prepc["_dev_m"] = [
+            put(_pack_blob(m_u8, {
+                "x80": prepc["x80_u8"],
+                "lobe_bits": prepc["lobe_bits"]}, np.uint8)),
+            put(_pack_blob(m_i32, mi32, np.int32)),
+            put(_pack_blob(m_f32, mf32, np.float32))]
+        prepc["_dev_s"] = [
+            put(_pack_blob(s_u8, {"cand_bits": prepc["cand_bits"]},
+                           np.uint8)),
+            put(_pack_blob(s_i32, si32, np.int32)),
+            put(_pack_blob(s_f32, sf32, np.float32))]
+        prepc["_device"] = device
         return prepc
 
     def process_chunks(self, prepc, unpack=True, want_heatmap=False):
         """Device path for the chunk wire (prep_scan_chunks): H2D moves
         only the 5 windowed-u8 model chunks, 1-bit lobe bucket masks and
         the 1-bit post-rule candidate — ~4x less than the w8 scan wire.
-        All stitching/Otsu/thresholding stays on device."""
+        All stitching/Otsu/thresholding stays on device, in three chained
+        programs (pre/model/post) whose intermediates never leave HBM;
+        only pre and post are geometry-keyed (cheap XLA compiles), the
+        heavy model program is compiled once for ALL geometries."""
         iso_shape = prepc["iso_shape"]
         bucket = prepc["bucket"]
-        if "_dev" not in prepc:
+        if "_dev_m" not in prepc:
             self.upload_chunks_prep(prepc)
         o_lo, o_shape = prepc["_back"]
-        stage2c = self._get_stage2c(iso_shape, bucket, o_shape, want_heatmap)
-        res = stage2c(self.params, self.batch_stats, *prepc["_dev"])
+        params, batch_stats = self._params_on(prepc.get("_device"))
+        x80, l80f, lmask = self._get_stage2pre(bucket)(*prepc["_dev_m"])
+        out_l, ratio = self._get_stage2model()(params, batch_stats,
+                                               x80, l80f)
+        stage2post = self._get_stage2post(iso_shape, bucket, o_shape,
+                                          want_heatmap)
+        res = stage2post(out_l, ratio, lmask, *prepc["_dev_s"])
         masks, meta = res[0], res[1]
         if unpack:
             masks_np = np.asarray(masks)

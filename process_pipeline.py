@@ -34,6 +34,11 @@ def run_testing_job(args):
     if args.ckp_path is not None:
         settings.RELOAD_CHECKPOINT_PATH = args.ckp_path
     settings.RELOAD_CHECKPOINT = True
+    if args.shard:
+        # scan-level multi-chip parallelism: N scans in flight, one per
+        # chip ("-1" / "auto" = every local device)
+        settings.SHARD_SCANS = -1 if args.shard in ("auto", "-1") \
+            else int(args.shard)
     runner = LesionSegTest(settings_module=settings,
                            scan_path=args.input,
                            lobe_path=args.lobes,

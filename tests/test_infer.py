@@ -4,6 +4,7 @@ mode, restartability, and per-scan error isolation."""
 import os
 import textwrap
 
+import jax
 import numpy as np
 import pytest
 
@@ -137,6 +138,43 @@ class TestLesionSegTest:
         for uid in records["uid"]:
             assert os.path.exists(os.path.join(taskdir, f"{uid}.mha"))
 
+    @pytest.mark.skipif(jax.device_count() < 8,
+                        reason="needs 8 fake devices")
+    def test_scan_sharded_matches_serial(self, trained, tmp_path):
+        """(VERDICT r2 item 7) scan-level multi-chip parallelism: with
+        SHARD_SCANS=-1 every local device runs whole scans concurrently
+        (wc-wire blobs committed per chip); outputs and scores must be
+        IDENTICAL to the serial fast path."""
+        db, out, sfile = trained
+        from dram_tpu.data.io import read_mha
+        from dram_tpu.infer.engine import LesionSegTest
+
+        settings = Settings(sfile)
+        serial_dir = str(tmp_path / "serial")
+        eng = LesionSegTest(settings_module=settings, output_path=serial_dir,
+                            use_fast_path=True)
+        rec_serial = eng.run()
+
+        settings2 = Settings(sfile)
+        settings2.SHARD_SCANS = -1
+        shard_dir = str(tmp_path / "sharded")
+        eng2 = LesionSegTest(settings_module=settings2,
+                             output_path=shard_dir, use_fast_path=True)
+        assert eng2._shard_count() == jax.local_device_count()
+        rec_shard = eng2.run()
+
+        assert set(rec_shard["uid"]) == set(rec_serial["uid"])
+        a = rec_serial.set_index("uid").sort_index()
+        b = rec_shard.set_index("uid").sort_index()
+        np.testing.assert_allclose(a["dice"], b["dice"], atol=0)
+        for uid in rec_serial["uid"]:
+            for sub in ("", "post/"):
+                pa = read_mha(os.path.join(serial_dir, "test",
+                                           f"{sub}{uid}.mha"))["array"]
+                pb = read_mha(os.path.join(shard_dir, "test",
+                                           f"{sub}{uid}.mha"))["array"]
+                np.testing.assert_array_equal(pa, pb, err_msg=f"{sub}{uid}")
+
     def test_per_scan_error_isolation(self, trained, tmp_path, monkeypatch):
         db, out, sfile = trained
         from dram_tpu.infer.engine import LesionSegTest
@@ -146,11 +184,11 @@ class TestLesionSegTest:
         orig = eng.process_scan_fast if eng.use_fast_path else eng.process_scan
         calls = {"n": 0}
 
-        def flaky(scan_data):
+        def flaky(scan_data, **kw):
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("boom")
-            return orig(scan_data)
+            return orig(scan_data, **kw)
 
         monkeypatch.setattr(
             eng, "process_scan_fast" if eng.use_fast_path else "process_scan",

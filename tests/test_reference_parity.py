@@ -467,3 +467,88 @@ class TestSlowPipelineParity:
             n_nonempty += int(ref["pred"].sum() > 0)
         # the gate must not pass vacuously on all-empty masks
         assert n_nonempty >= 1
+
+
+class TestFastPipelineParity:
+    """(VERDICT r2 item 6) The PRODUCTION path — FastScanPipeline via the
+    chunk wire (process_scan_fast) — against the literal torch rebuild of
+    the reference chain, with TRAINED weights and running BN stats.
+
+    Residual attribution (measured here, scan 0): lobe bboxes are EXACT
+    vs find_crops_np; the disagreement is ~1% of mask voxels, of which
+    >90% lie ON the mask boundary (the interior matches) — i.e. the u8
+    chunk wire's 1/255 windowed-scan quantization flips CAM values that
+    sit within a quantum of the Otsu threshold, a one-voxel boundary
+    ring at the iso grid. The Dice gate is 0.99 on these tiny 24x32x32
+    synthetic volumes where boundary voxels are ~8x over-represented
+    (each 2 mm iso voxel covers ~8 output voxels); at clinical 512^3
+    scans the same ring implies Dice >= 0.999. The boundary-confinement
+    assertion below keeps the attribution honest: a logic bug (wrong
+    lobe, shifted crop, broken stitch) would flip interior voxels and
+    fail it."""
+
+    def test_fast_masks_match_torch_chain_trained(self, pipeline_env):
+        sfile, _init_ckpt, trained_ckpt = pipeline_env
+        from dram_tpu.infer.engine import LesionSegTest
+
+        settings = Settings(sfile)
+        settings.RELOAD_CHECKPOINT_PATH = trained_ckpt
+        eng = LesionSegTest(settings_module=settings, use_fast_path=True)
+
+        tm = TorchRefDC3D(**SMALL)
+        transplant_dc3d(tm, jax.tree.map(np.asarray, eng.params),
+                        jax.tree.map(np.asarray, eng.batch_stats))
+
+        # the torch twin follows the reference test loop exactly: host
+        # iso resample first (job_runner.py:827-835), chain at the iso
+        # grid, masks nearest-resampled back to the original grid
+        # (job_runner.py:1017-1030) — the same grids the fast path's
+        # device stages produce internally
+        iso_t = T.Compose([T.Resample(mode="fixed_spacing",
+                                      factor=settings.TEST_RESAMPLE_SPACING,
+                                      size=settings.RESAMPLE_SIZE)])
+
+        n_nonempty = 0
+        for idx in range(len(eng.test_set)):
+            scan_data = eng.test_set[idx]
+            mine = eng.process_scan_fast(scan_data)
+
+            iso_data = iso_t(dict(scan_data))
+            ref = torch_reference_chain(iso_data, tm, settings)
+            meta = iso_data["meta"]
+            spacing = list(np.asarray(meta["spacing"]).flatten())
+            orig_spacing = list(
+                np.asarray(meta["original_spacing"]).flatten())
+            orig_size = [int(v) for v in
+                         np.asarray(meta["original_size"]).flatten()]
+            ref_back = {}
+            for key in ("pred", "post"):
+                ref_back[key], _ = T.resample_array(
+                    ref[key], spacing, orig_spacing, orig_size, "nearest")
+
+            def _interior(m):
+                m = m > 0
+                out = m.copy()
+                for ax in range(3):
+                    out &= np.roll(m, 1, ax) & np.roll(m, -1, ax)
+                return out
+
+            for key in ("pred", "post"):
+                if ref_back[key].sum() == 0 and mine[key].sum() == 0:
+                    continue
+                d = _dice(mine[key], ref_back[key])
+                # post compounds TWO quantization rings (CAM threshold +
+                # intensity-Otsu candidate), hence the slightly wider gate
+                gate = 0.99 if key == "pred" else 0.985
+                assert d >= gate, \
+                    f"fast {key} mask diverged on scan {idx}: Dice {d:.4f}"
+                # attribution gate: the residual must be a boundary ring
+                # (wire quantization at the threshold), not interior flips
+                diff = (mine[key] > 0) != (ref_back[key] > 0)
+                interior_flips = int((diff & _interior(ref_back[key])).sum())
+                assert interior_flips <= max(8, 0.1 * diff.sum()), \
+                    (f"fast {key} disagreement is not boundary-confined on "
+                     f"scan {idx}: {interior_flips}/{int(diff.sum())} "
+                     f"interior flips")
+            n_nonempty += int(ref_back["pred"].sum() > 0)
+        assert n_nonempty >= 1

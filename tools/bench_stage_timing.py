@@ -32,7 +32,7 @@ def main():
                                     windowing_span=span)
             t1 = time.perf_counter()
             pipe.upload_chunks_prep(prep)
-            jax.block_until_ready(prep["_dev"])
+            jax.block_until_ready(prep["_dev_m"] + prep["_dev_s"])
             t2 = time.perf_counter()
             out = pipe.process_chunks(prep, unpack=False)
             t3 = time.perf_counter()
