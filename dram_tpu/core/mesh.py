@@ -124,15 +124,34 @@ def process_local_rows(sharding, global_shape):
     return lo, hi
 
 
-def shard_batch_arrays(mesh, arrays, axis_name=None):
+def local_batch_rows(mesh, global_batch):
+    """Per-process sampler sharding plan: ((lo, hi), padded_batch).
+
+    `padded_batch` is `global_batch` rounded up to the device count;
+    [lo, hi) is the leading-axis row range of the padded global batch
+    that THIS process's devices own. A loader that yields only rows
+    [lo, min(hi, global_batch)) of each global index batch feeds
+    `shard_batch_arrays(..., local_rows=((lo, hi), padded_batch))` with
+    zero redundant I/O — host reads scale as global_batch/process_count
+    instead of every process loading the whole global batch."""
+    n = int(mesh.devices.size)
+    padded = -(-int(global_batch) // n) * n
+    sh = NamedSharding(mesh, batch_spec(mesh))
+    return process_local_rows(sh, (padded,)), padded
+
+
+def shard_batch_arrays(mesh, arrays, axis_name=None, local_rows=None):
     """Shard each array's leading (batch) axis over all mesh axes (or an
     explicit axis subset).
 
-    Single-process: a plain device_put. Multi-process (jax.distributed):
-    every process passes the same GLOBAL batch (the identically-seeded
-    sampler makes the loaders agree), and each process hands only its own
-    row slice to `jax.make_array_from_process_local_data` — no process ever
-    device_puts onto a non-addressable device.
+    Single-process: a plain device_put. Multi-process (jax.distributed),
+    default: every process passes the same GLOBAL batch (the identically-
+    seeded sampler makes the loaders agree), and each process hands only
+    its own row slice to `jax.make_array_from_process_local_data` — no
+    process ever device_puts onto a non-addressable device. With
+    `local_rows=((lo, hi), padded_batch)` (see local_batch_rows) each
+    array holds ONLY this process's rows [lo, hi) and is handed over
+    as-is — the per-process-loading fast path.
     """
     names = tuple(mesh.axis_names) if axis_name is None else axis_name
     multi = jax.process_count() > 1
@@ -140,7 +159,18 @@ def shard_batch_arrays(mesh, arrays, axis_name=None):
     for a in arrays:
         spec = P(names) if np.ndim(a) >= 1 else P()
         sh = NamedSharding(mesh, spec)
-        if multi:
+        if local_rows is not None and np.ndim(a) >= 1:
+            (lo, hi), padded = local_rows
+            a = np.ascontiguousarray(np.asarray(a))
+            assert a.shape[0] == hi - lo, \
+                f"local batch has {a.shape[0]} rows, sharding owns {hi - lo}"
+            gshape = (padded,) + a.shape[1:]
+            if multi:
+                out.append(jax.make_array_from_process_local_data(
+                    sh, a, gshape))
+            else:
+                out.append(jax.device_put(jnp.asarray(a), sh))
+        elif multi:
             a = np.asarray(a)
             if a.ndim >= 1:
                 lo, hi = process_local_rows(sh, a.shape)

@@ -42,7 +42,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, sampler, batch_size, drop_last=True,
-                 num_workers=4, prefetch=2, collate_fn=collate_dict):
+                 num_workers=4, prefetch=2, collate_fn=collate_dict,
+                 row_range=None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -50,6 +51,12 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.collate_fn = collate_fn
+        # per-process sampler sharding (core/mesh.py local_batch_rows):
+        # only rows [lo, hi) of each GLOBAL index batch are loaded by this
+        # process — the sampler sequence stays identical across processes
+        # (identically seeded), so together the processes cover exactly
+        # the global batch while each reads only its share
+        self.row_range = row_range
 
     def __len__(self):
         n = len(self.sampler)
@@ -62,6 +69,9 @@ class DataLoader:
             b = idx[i:i + self.batch_size]
             if len(b) < self.batch_size and self.drop_last:
                 return
+            if self.row_range is not None:
+                lo, hi = self.row_range
+                b = b[lo:hi]
             yield b
 
     def __iter__(self):

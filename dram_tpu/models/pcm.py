@@ -72,6 +72,30 @@ def build_geo_feature(spatial_size, p_enc_dim, dtype=np.float32):
     return pe
 
 
+def build_geo_feature_z0(spatial_size, p_enc_dim, z0):
+    """build_geo_feature with a (possibly traced) global z offset: local
+    z index i encodes position z0 + i. With z0=0 this equals the numpy
+    builder bit-for-bit (same float32 sin/cos); sharded PCM blocks pass
+    their global block origin so positional encodings are identical to
+    the unsharded volume's."""
+    nd = len(spatial_size)
+    if p_enc_dim % (2 * nd) != 0:
+        raise ValueError(f"p_enc_dim ({p_enc_dim}) must be divisible by "
+                         f"{2 * nd}")
+    d_model = p_enc_dim // nd
+    div = jnp.asarray(
+        np.power(1e-4, np.arange(0, d_model, 2) / d_model), jnp.float32)
+    grids = [jax.lax.broadcasted_iota(jnp.float32, spatial_size, d)
+             for d in range(nd)]
+    grids[0] = grids[0] + jnp.asarray(z0, jnp.float32)
+    parts = []
+    for d in range(nd):
+        arg = grids[d][..., None] * div  # (D,H,W,d_model/2)
+        sc = jnp.stack([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+        parts.append(sc.reshape(*spatial_size, d_model))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _shift(x, off):
     """x[i] <- x[i + off] along the 3 spatial axes (B,D,H,W,C); rolled
     values that wrapped around are handled by the validity mask."""
@@ -104,6 +128,10 @@ def _valid_masks(spatial_size, offsets, z0=0, z_extent=None):
 def _masked_softmax(logits, valid):
     logits = jnp.where(valid, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
+    # all-invalid rows (e.g. pcm_sharded's pad-and-mask z rows): -inf max
+    # would make (logits - m) = nan and 0*nan contaminate neighbors'
+    # weighted sums next iteration; pin m so those rows come out exact 0
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
     e = jnp.exp(logits - m) * valid
     return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-12)
 
@@ -201,7 +229,8 @@ class PCM(nn.Module):
             theta, phi = f, f
 
         if (self.use_pallas and self.merge_type == "scaled_dot_product_relu"
-                and self.p_enc_dim == 0 and z0 == 0 and z_extent is None):
+                and self.p_enc_dim == 0 and isinstance(z0, int) and z0 == 0
+                and z_extent is None):
             from ..core.pallas.window_attention import stencil_attention_pallas
             G = self._dense(self.g_dim, self.g_ch, "G") \
                 if self.g_dim > 0 else None
@@ -218,7 +247,10 @@ class PCM(nn.Module):
 
         geo_theta = geo_phi = None
         if self.p_enc_dim > 0:
-            geo = jnp.asarray(build_geo_feature(spatial, self.p_enc_dim))
+            # global-coordinate positional encodings: under spatial
+            # sharding the block passes its global origin z0, so every
+            # voxel encodes the same position as in the unsharded volume
+            geo = build_geo_feature_z0(spatial, self.p_enc_dim, z0)
             geo = jnp.broadcast_to(geo[None], (f.shape[0], *spatial, self.p_enc_dim))
             geo = jax.lax.stop_gradient(geo)
             if self.geo_f_dim > 0:
@@ -291,14 +323,19 @@ def pcm_sharded(pcm, variables, cam, f, mesh, axis_name="space"):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    if pcm.p_enc_dim > 0:
-        raise NotImplementedError(
-            "sharded PCM with positional encodings needs global-coordinate "
-            "geo features")
     halo = pcm.k_size // 2
     D = cam.shape[1]
     n = mesh.devices.size
-    assert D % n == 0, "D axis must divide evenly over the mesh"
+    # pad-and-mask for D % n != 0: pad rows carry global z >= D, which the
+    # validity masks (z_extent=D) exclude from every neighborhood, so real
+    # rows never attend into padding; the pad rows' own garbage is sliced
+    # off below. Positional encodings use the block's global origin
+    # (build_geo_feature_z0), so p_enc_dim > 0 shards exactly too.
+    d_pad = (-D) % n
+    if d_pad:
+        widths = [(0, 0), (0, d_pad), (0, 0), (0, 0), (0, 0)]
+        cam = jnp.pad(cam, widths)
+        f = jnp.pad(f, widths)
     pcm_single = pcm.clone(non_local_iter=1)
     spec = P(None, axis_name, None, None, None)
 
@@ -317,4 +354,5 @@ def pcm_sharded(pcm, variables, cam, f, mesh, axis_name="space"):
         return out
 
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
-    return fn(cam, f)
+    out = fn(cam, f)
+    return out[:, :D] if d_pad else out

@@ -88,12 +88,19 @@ class MaskWireLatch:
 def unpack_image_wire(images, span):
     """The single inverse of the u16 image wire (pack_train_batch).
 
-    Shared by the jitted train step and host-side trace unpacking so the
-    wire format has exactly one dequantization (advisor finding: two
-    slightly different copies could drift by ULPs)."""
+    `span` is PER-SAMPLE (B, 2): each row's own (lo, hi) — sharded with
+    the batch, so the wire works when every process packs only its own
+    rows (per-process sampler sharding) and quantizes tighter than a
+    batch-global span. Shared by the jitted train step and host-side
+    trace unpacking so the wire format has exactly one dequantization
+    (advisor finding: two slightly different copies could drift by
+    ULPs)."""
     if images.dtype == jnp.uint16:
-        scale = (span[1] - span[0]) * (1.0 / 65535.0)
-        return span[0] + images.astype(jnp.float32) * scale
+        bshape = (-1,) + (1,) * (images.ndim - 1)
+        lo = span[:, 0].reshape(bshape)
+        hi = span[:, 1].reshape(bshape)
+        scale = (hi - lo) * (1.0 / 65535.0)
+        return lo + images.astype(jnp.float32) * scale
     return images.astype(jnp.float32)
 
 
@@ -118,11 +125,17 @@ def pack_train_batch(batch, wire="f32", mask_latch=None):
     meta = batch["meta"]
     key = "ctss" if "ctss" in meta else "cle"
     ctss = np.asarray([int(float(c)) for c in meta[key]], np.int32)
-    span = np.array([0.0, 1.0], np.float32)
+    B = images.shape[0]
+    # per-SAMPLE span: rows quantize independently, so the wire is
+    # identical whether a process packs the global batch or only its own
+    # rows (per-process sampler sharding), and each chunk gets the full
+    # u16 range
+    span = np.tile(np.array([0.0, 1.0], np.float32), (B, 1))
     if wire == "u16":
-        lo = float(images.min())
-        hi = float(images.max())
-        if not (np.isfinite(lo) and np.isfinite(hi)):
+        flat = images.reshape(B, -1)
+        lo = flat.min(axis=1)
+        hi = flat.max(axis=1)
+        if not (np.isfinite(lo).all() and np.isfinite(hi).all()):
             # NaN/Inf would make the float->u16 cast undefined and feed
             # silent garbage to the step; the f32 wire propagates a
             # visible NaN loss instead (advisor finding, round 2)
@@ -130,10 +143,11 @@ def pack_train_batch(batch, wire="f32", mask_latch=None):
                 "u16 image wire: batch contains non-finite values; "
                 "shipping this batch as f32")
         else:
-            if not hi > lo:
-                hi = lo + 1.0
-            span = np.array([lo, hi], np.float32)
-            images = np.rint((images - lo) * (65535.0 / (hi - lo))) \
+            hi = np.where(hi > lo, hi, lo + 1.0)
+            span = np.stack([lo, hi], axis=1).astype(np.float32)
+            bshape = (B,) + (1,) * (images.ndim - 1)
+            images = np.rint((images - lo.reshape(bshape)) *
+                             (65535.0 / (hi - lo).reshape(bshape))) \
                 .astype(np.uint16)
         if mask_latch is None:
             mask_latch = MaskWireLatch()
@@ -382,6 +396,28 @@ class JobRunner:
                 f"training mesh: {self.mesh} (batch mode {mode}, "
                 f"global batch {self.loader_batch_size})")
 
+        # multi-process: each process's loader reads ONLY its own rows of
+        # the global batch (I/O scales as global_batch/process_count); the
+        # identically-seeded sampler keeps the global index sequence
+        # consistent across processes. _local_rows = ((lo, hi) of the
+        # padded batch this process owns, padded size, its REAL row count).
+        self._local_rows = None
+        self._loader_row_range = None
+        if self.mesh is not None and jax.process_count() > 1 and \
+                bool(getattr(s, "PER_PROCESS_LOADING", True)):
+            from ..core.mesh import local_batch_rows
+            (lo, hi), padded = local_batch_rows(self.mesh,
+                                                self.loader_batch_size)
+            lo_eff = min(lo, self.loader_batch_size)
+            hi_eff = min(hi, self.loader_batch_size)
+            self._local_rows = ((lo, hi), padded, hi_eff - lo_eff)
+            # always load >= 1 row so shapes exist even when this process
+            # owns only padding (the extra row rides with weight 0)
+            self._loader_row_range = (lo_eff, max(hi_eff, lo_eff + 1))
+            self.logger.info(
+                f"per-process loading: rows [{lo_eff}, {hi_eff}) of "
+                f"{self.loader_batch_size} (padded {padded})")
+
         if getattr(s, "USE_GRAD_SCALER", False):
             # reference used torch.cuda.amp.GradScaler (job_runner.py:406);
             # bf16 on TPU keeps the f32 exponent range, so no loss scaling
@@ -531,7 +567,7 @@ class JobRunner:
             step = shard_map(
                 train_step, mesh=self.mesh,
                 in_specs=(repl, repl, repl, bspec, bspec, bspec, bspec,
-                          repl, bspec, repl, repl),
+                          repl, bspec, repl, bspec),
                 out_specs=(repl, repl, repl, repl, repl),
                 check_vma=False)
             self.train_step = jax.jit(step, donate_argnums=donate)
@@ -700,7 +736,8 @@ class LesionSegChunkTrain(JobRunner):
         self.tr_loader = DataLoader(
             tr_dataset, sampler, batch_size=self.loader_batch_size,
             drop_last=True, num_workers=getattr(s, "NUM_WORKERS", 4) or 0,
-            collate_fn=collate_packed)
+            collate_fn=collate_packed,
+            row_range=self._loader_row_range)
         self.num_steps = len(self.tr_loader)
 
         val_cls = get_callable_by_name(getattr(
@@ -719,15 +756,32 @@ class LesionSegChunkTrain(JobRunner):
     def _device_batch(self, batch):
         if not batch.get("_packed"):
             batch = pack_train_batch(batch, self._train_wire)
-        span = batch["span"]
         arrays = (batch["images"], batch["lobes"], batch["lesions"],
-                  batch["ctss"])
+                  batch["ctss"], batch["span"])
         if self.mesh is not None:
-            arrays, weights = pad_batch(arrays, self.n_shards)
-            sharded = shard_batch_arrays(self.mesh, arrays + (weights,))
-            return sharded + (replicate(self.mesh, jnp.asarray(span)),)
+            if self._local_rows is not None:
+                # per-process sampler sharding: `batch` holds ONLY this
+                # process's rows of the global batch; pad up to the local
+                # shard size with wrapped weight-0 rows and assemble the
+                # global array from the local shards (zero redundant I/O)
+                (lo, hi), padded, n_real = self._local_rows
+                n_local = hi - lo
+                b = int(arrays[0].shape[0])
+                idx = np.arange(n_local) % max(b, 1)
+                weights = np.zeros(n_local, np.float32)
+                weights[:n_real] = 1.0
+                arrays = tuple(np.asarray(a)[idx] for a in arrays)
+                sharded = shard_batch_arrays(
+                    self.mesh, arrays + (weights,),
+                    local_rows=((lo, hi), padded))
+            else:
+                arrays, weights = pad_batch(arrays, self.n_shards)
+                sharded = shard_batch_arrays(self.mesh, arrays + (weights,))
+            im, lob, les, ct, span, w = sharded
+            return im, lob, les, ct, w, span
         weights = np.ones(arrays[0].shape[0], np.float32)
-        return tuple(jnp.asarray(a) for a in arrays + (weights, span))
+        im, lob, les, ct, span = (jnp.asarray(a) for a in arrays)
+        return im, lob, les, ct, jnp.asarray(weights), span
 
     def _dump_train_trace(self, images, lobes, step_rng, step_idx,
                           max_samples=2):

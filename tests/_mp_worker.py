@@ -62,7 +62,43 @@ def compute(mesh, dcn_mesh=None):
             out["bn:" + jax.tree_util.keystr(path)] = float(jnp.sum(leaf))
         return out
 
-    res = {"data_mesh": run_on(mesh)}
+    def run_local_rows(m):
+        """Per-process loading parity: each process constructs ONLY its
+        own rows of the padded global batch (core/mesh.py
+        local_batch_rows) — loss/grads/BN must equal the global-feed
+        path bit-for-bit."""
+        from dram_tpu.core.mesh import local_batch_rows
+
+        params = replicate(m, v["params"])
+        bs = replicate(m, v["batch_stats"])
+        (lo, hi), padded = local_batch_rows(m, B)
+        idx = np.arange(lo, hi) % B  # wrap-pad, like pad_batch
+        w = np.zeros(hi - lo, np.float32)
+        w[np.arange(lo, hi) < B] = 1.0
+        xs, ts, ws = shard_batch_arrays(
+            m, (x[idx], t[idx], w), local_rows=((lo, hi), padded))
+
+        def loss_fn(p, b, xa, ta, wa):
+            out, mut = model.apply({"params": p, "batch_stats": b}, xa,
+                                   mutable=["batch_stats"])
+            se = jnp.mean((out - ta) ** 2, axis=(1, 2, 3, 4))
+            return jnp.sum(se * wa) / jnp.sum(wa), mut["batch_stats"]
+
+        repl = NamedSharding(m, P())
+        bsh = NamedSharding(m, batch_spec(m))
+        step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
+                       in_shardings=(repl, repl, bsh, bsh, bsh))
+        (loss, new_bs), grads = step(params, bs, xs, ts, ws)
+        out = {"loss": float(loss)}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+            out["grad:" + jax.tree_util.keystr(path)] = \
+                float(jnp.sum(jnp.abs(leaf)))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(new_bs):
+            out["bn:" + jax.tree_util.keystr(path)] = float(jnp.sum(leaf))
+        return out
+
+    res = {"data_mesh": run_on(mesh),
+           "local_rows": run_local_rows(mesh)}
     if dcn_mesh is not None:
         res["dcn_mesh"] = run_on(dcn_mesh)
     return res

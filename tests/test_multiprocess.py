@@ -54,7 +54,9 @@ def test_two_process_matches_single_process(tmp_path):
 
     single = compute(best_mesh(), best_mesh(dcn_axis="dcn", dcn_size=2))
 
-    for mesh_key in ("data_mesh", "dcn_mesh"):
+    # local_rows: per-process loading (each process constructs only its
+    # own batch rows) must match the global-feed path and the oracle
+    for mesh_key in ("data_mesh", "dcn_mesh", "local_rows"):
         assert mesh_key in multi
         for k, v in single[mesh_key].items():
             assert multi[mesh_key][k] == pytest.approx(v, rel=1e-5,

@@ -109,6 +109,35 @@ class TestTrainerEndToEnd:
             assert runner.mesh is not None
             assert runner.mesh.devices.size == jax.device_count()
 
+    def test_device_batch_local_rows_matches_global(self, env, tmp_path):
+        """Per-process sampler sharding glue (VERDICT r2 item 9): with
+        _local_rows set (as the trainer does under jax.distributed), the
+        wrap-padded local feed must assemble byte-identical device arrays
+        to the default global-batch path. Single process owns every row,
+        so the two paths are directly comparable."""
+        import jax
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 fake devices")
+        db, out = env
+        settings = _settings(tmp_path, db, out)
+        settings.EXP_NAME = "tiny_localrows"
+        runner = get_callable_by_name(settings.JOB_RUNNER_CLS)(
+            settings_module=settings)
+        batch = next(iter(runner.tr_loader))
+
+        g = runner._device_batch(dict(batch))
+
+        from dram_tpu.core.mesh import local_batch_rows
+        (lo, hi), padded = local_batch_rows(runner.mesh,
+                                            runner.loader_batch_size)
+        assert (lo, hi) == (0, padded)  # single process owns all rows
+        runner._local_rows = ((lo, hi), padded, runner.loader_batch_size)
+        loc = runner._device_batch(dict(batch))
+        for a, b, nm in zip(g, loc, ("images", "lobes", "lesions", "ctss",
+                                     "weights", "span")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=nm)
+
     def test_resume_from_checkpoint(self, env, tmp_path):
         db, out = env
         settings = _settings(tmp_path, db, out, reload=True)
@@ -376,10 +405,14 @@ class TestTrainWire:
         assert p["images"].dtype == np.uint16
         assert p["lobes"].dtype == np.uint8
         assert p["lesions"].dtype == np.uint8
-        lo, hi = p["span"]
+        # span is per-SAMPLE (B, 2): each row quantizes over its own range
+        assert p["span"].shape == (2, 2)
+        bshape = (2, 1, 1, 1, 1)
+        lo = p["span"][:, 0].reshape(bshape)
+        hi = p["span"][:, 1].reshape(bshape)
         back = p["images"].astype(np.float32) * ((hi - lo) / 65535.0) + lo
         err = np.abs(back - raw["#image"][..., None])
-        assert err.max() <= (hi - lo) / 65535.0 * 0.5 + 1e-7
+        assert (err <= (hi - lo) / 65535.0 * 0.5 + 1e-7).all()
         # masks are bit-exact
         np.testing.assert_array_equal(
             p["lobes"].astype(np.float32),
@@ -409,7 +442,7 @@ class TestTrainWire:
         p = pack_train_batch(raw, "u16")
         assert p["images"].dtype == np.float32  # not undefined u16 garbage
         assert np.isnan(p["images"]).any()
-        np.testing.assert_array_equal(p["span"], [0.0, 1.0])
+        np.testing.assert_array_equal(p["span"], [[0.0, 1.0]] * 2)
 
     def test_u16_step_matches_f32_step(self, env, tmp_path):
         """One optimizer step through the u16 wire matches the f32 wire to
