@@ -27,15 +27,115 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sinc(x):
+    return np.sinc(x)  # sin(pi x)/(pi x), sinc(0)=1
+
+
+# windowed-sinc window functions over |x| <= m (ITK
+# itkWindowedSincInterpolateImageFunction.h; radius m=3, the SimpleITK
+# default for sitk{Hamming,Cosine,Welch,Lanczos}WindowedSinc)
+_SINC_RADIUS = 3
+_SINC_WINDOWS = {
+    "itk_hamming_sinc": lambda x, m: 0.54 + 0.46 * np.cos(np.pi * x / m),
+    "itk_cosine_sinc": lambda x, m: np.cos(np.pi * x / (2 * m)),
+    "itk_welch_sinc": lambda x, m: 1.0 - (x / m) ** 2,
+    "itk_lanczos_sinc": lambda x, m: _sinc(x / m),
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _bspline_coeff_matrix(n: int):
+    """(n, n) inverse of the cubic B-spline collocation matrix under
+    mirror (whole-sample symmetric) boundary extension — the prefilter of
+    an interpolating cubic spline (ITK BSplineInterpolateImageFunction
+    order 3 / Unser's recursive filter expressed as a dense solve)."""
+    if n == 1:
+        return np.ones((1, 1), np.float32)
+    M = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for j, w in ((i - 1, 1 / 6), (i, 2 / 3), (i + 1, 1 / 6)):
+            jm = -j if j < 0 else (2 * (n - 1) - j if j > n - 1 else j)
+            M[i, jm] += w
+    return np.linalg.inv(M).astype(np.float32)
+
+
+def _bspline3(x):
+    ax = np.abs(x)
+    return np.where(ax < 1, 2 / 3 - ax ** 2 + ax ** 3 / 2,
+                    np.where(ax < 2, (2 - ax) ** 3 / 6, 0.0))
+
+
+def _mirror_idx(j, n):
+    j = np.abs(j)
+    if n > 1:
+        j = np.where(j > n - 1, 2 * (n - 1) - j, j)
+    return np.clip(j, 0, n - 1)
+
+
 @functools.lru_cache(maxsize=512)
-def _axis_weights(in_size: int, out_size: int, mode: str, scale: float | None):
+def _axis_weights(in_size: int, out_size: int, mode: str, scale: float | None,
+                  param: float | None = None):
     """(out,in) float32 weight matrix + (out,) validity vector, as np arrays.
 
     scale is only used by itk modes; it is the output->input index ratio
-    (new_spacing/old_spacing). None means in_size/out_size.
+    (new_spacing/old_spacing). None means in_size/out_size. `param` is the
+    Gaussian sigma (input-voxel units) for mode 'itk_gaussian'.
     """
     W = np.zeros((out_size, in_size), np.float32)
     valid = np.ones((out_size,), np.float32)
+    if mode in _SINC_WINDOWS or mode in ("itk_bspline", "itk_gaussian"):
+        # the remaining reference interpolators (reference utils.py:286-296
+        # _SITK_INTERPOLATOR_DICT; no shipped pipeline path uses them).
+        # All are separable kernels -> per-axis weight matrices. Boundary:
+        # out-of-range taps clamp/mirror to the edge sample; outputs whose
+        # source point leaves the buffer ([-0.5, size-0.5), ITK
+        # IsInsideBuffer) are zeroed via `valid` and take the fill value.
+        s = (in_size / out_size) if scale is None else scale
+        src = np.arange(out_size) * s
+        valid = ((src >= -0.5) & (src < in_size - 0.5)).astype(np.float32)
+        src = np.clip(src, 0.0, in_size - 1)
+        rows = np.arange(out_size)
+        if mode in _SINC_WINDOWS:
+            # w(x) = window(x) * sinc(x), radius 3, NOT normalized (ITK
+            # WindowedSincInterpolateImageFunction); exact at integer src
+            m = _SINC_RADIUS
+            base = np.floor(src).astype(np.int64)
+            for k in range(-m + 1, m + 1):
+                j = base + k
+                x = src - j
+                w = _SINC_WINDOWS[mode](x, m) * _sinc(x)
+                w = np.where(np.abs(x) <= m, w, 0.0)
+                np.add.at(W, (rows, np.clip(j, 0, in_size - 1)),
+                          (w * valid).astype(np.float32))
+        elif mode == "itk_bspline":
+            # interpolating cubic spline: evaluation basis x prefilter
+            B = np.zeros((out_size, in_size), np.float64)
+            base = np.floor(src).astype(np.int64)
+            for k in range(-1, 3):
+                j = base + k
+                w = _bspline3(src - j)
+                np.add.at(B, (rows, _mirror_idx(j, in_size)), w)
+            W = (B @ _bspline_coeff_matrix(in_size).astype(np.float64))
+            W = (W * valid[:, None]).astype(np.float32)
+        else:  # itk_gaussian
+            # cell-integrated Gaussian weights, normalized (ITK
+            # GaussianInterpolateImageFunction); sigma in input-voxel
+            # units (`param`, default 1.0), taps within 4 sigma
+            from math import erf
+            sig = 1.0 if param is None else float(param)
+            r = max(1, int(np.ceil(4.0 * sig)))
+            base = np.floor(src).astype(np.int64)
+            erfv = np.vectorize(erf)
+            den = np.sqrt(2.0) * sig
+            for k in range(-r, r + 2):
+                j = base + k
+                d = j - src
+                w = 0.5 * (erfv((d + 0.5) / den) - erfv((d - 0.5) / den))
+                np.add.at(W, (rows, np.clip(j, 0, in_size - 1)),
+                          w.astype(np.float32))
+            W /= np.maximum(W.sum(axis=1, keepdims=True), 1e-12)
+            W = (W * valid[:, None]).astype(np.float32)
+        return W, valid
     if mode == "linear_ac":  # torch align_corners=True
         if out_size == 1:
             src = np.zeros((1,))
@@ -126,16 +226,52 @@ def resize3d(x, out_size, method="trilinear", align_corners=True):
     return x  # float result for integer inputs (caller decides rounding)
 
 
+# reference interpolator names (reference utils.py:286-296
+# _SITK_INTERPOLATOR_DICT) -> _axis_weights modes. Only linear/nearest are
+# used by any reference pipeline path; the rest exist for parity of record.
+ITK_METHODS = {
+    "linear": "itk_linear",
+    "nearest": "itk_nearest",
+    "bspline": "itk_bspline",
+    "gaussian": "itk_gaussian",
+    "hamming_sinc": "itk_hamming_sinc",
+    "cosine_windowed_sinc": "itk_cosine_sinc",
+    "welch_windowed_sinc": "itk_welch_sinc",
+    "lanczos_windowed_sinc": "itk_lanczos_sinc",
+}
+
+
+def _label_gaussian_resample(x, out_size, scales, fill_value, xp_resample):
+    """ITK LabelImageGaussianInterpolate semantics: per-label Gaussian
+    smoothing (the 'gaussian' kernel above) of each label's indicator,
+    argmax over labels. Host-side (labels come from the concrete data)."""
+    xv = np.asarray(x)
+    labels = np.unique(xv)
+    votes = [xp_resample((xv == lb).astype(np.float32), out_size,
+                         scales=scales, method="gaussian", fill_value=-1.0)
+             for lb in labels]
+    stack = np.stack([np.asarray(v) for v in votes])
+    out = np.asarray(labels)[np.argmax(stack, axis=0)].astype(xv.dtype)
+    # outside-buffer voxels (every vote carries the -1 fill) -> fill_value
+    return np.where(stack.max(axis=0) < 0, np.asarray(fill_value, xv.dtype),
+                    out)
+
+
 def itk_resample3d(x, out_size, scales=None, method="linear", fill_value=0.0):
     """SimpleITK-style grid resample (data-pipeline semantics).
 
     x: (D,H,W) volume. out_size: 3 static ints. scales: per-axis
     new_spacing/old_spacing ratios (defaults to in/out). Output voxels whose
-    source point falls outside the input buffer get `fill_value`.
+    source point falls outside the input buffer get `fill_value`. `method`
+    accepts every reference interpolator name (ITK_METHODS) plus
+    'label_gaussian' (host-side: labels are read from the concrete data).
     """
     if x.ndim != 3:
         raise ValueError("itk_resample3d operates on (D,H,W) volumes")
-    mode = {"linear": "itk_linear", "nearest": "itk_nearest"}[method]
+    if method == "label_gaussian":
+        return jnp.asarray(_label_gaussian_resample(
+            x, out_size, scales, fill_value, itk_resample3d_np))
+    mode = ITK_METHODS[method]
     if scales is None:
         scales = [None] * 3
     orig_dtype = x.dtype
@@ -227,7 +363,10 @@ def resize3d_np(x, out_size, method="trilinear"):
 # Host (NumPy) twin, used by the host data pipeline for ragged pre-chunks
 # and by tests as an oracle-free cross-check of the device path.
 def itk_resample3d_np(x, out_size, scales=None, method="linear", fill_value=0.0):
-    mode = {"linear": "itk_linear", "nearest": "itk_nearest"}[method]
+    if method == "label_gaussian":
+        return _label_gaussian_resample(x, out_size, scales, fill_value,
+                                        itk_resample3d_np)
+    mode = ITK_METHODS[method]
     if scales is None:
         scales = [None] * 3
     y = np.asarray(x, np.float32)

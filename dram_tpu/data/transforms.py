@@ -101,7 +101,8 @@ def resample_array(v, spacing, require_spacing=None, new_size=None,
             out = hp.resample_scales_f32(np.asarray(v, np.float32), scales,
                                          out_shape, fill_value)
             return out, tuple(float(s) for s in require_spacing)
-        if np.asarray(v).dtype in (np.uint8, np.bool_):
+        if interpolator == "nearest" and \
+                np.asarray(v).dtype in (np.uint8, np.bool_):
             out = hp.resample_scales_u8_nearest(
                 np.asarray(v).astype(np.uint8), scales, out_shape)
             return out, tuple(float(s) for s in require_spacing)

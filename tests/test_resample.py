@@ -97,6 +97,99 @@ class TestITKResample:
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+class TestExtraInterpolators:
+    """The 7 reference interpolators no pipeline path uses (reference
+    utils.py:286-296): bspline, gaussian, label_gaussian and the 4 windowed
+    sincs — completeness of record (VERDICT r2 'missing' item 3).
+    Property-based: interpolation/reproduction at integer source points,
+    constant preservation, fill semantics, host/device twin agreement."""
+
+    MODES = ["bspline", "hamming_sinc", "cosine_windowed_sinc",
+             "welch_windowed_sinc", "lanczos_windowed_sinc"]
+
+    @pytest.mark.parametrize("method", MODES)
+    def test_interpolates_at_integer_sources(self, method, rng):
+        # scale 1 -> src = i exactly; bspline (interpolating spline) and
+        # windowed sinc (sinc(k)=0 for integer k != 0) reproduce the data
+        x = rng.normal(size=(7, 6, 5)).astype(np.float32)
+        y = resample.itk_resample3d_np(x, (7, 6, 5), scales=[1, 1, 1],
+                                       method=method)
+        np.testing.assert_allclose(y, x, atol=1e-4)
+
+    @pytest.mark.parametrize("method", MODES + ["gaussian"])
+    def test_constant_preserved(self, method):
+        # windowed sinc is not normalized (ITK semantics) so constants are
+        # only approximately preserved; gaussian/bspline are exact
+        x = np.full((8, 8, 8), 3.5, np.float32)
+        y = resample.itk_resample3d_np(x, (11, 11, 11),
+                                       scales=[8 / 11] * 3, method=method)
+        tol = 1e-4 if method in ("bspline", "gaussian") else 0.06
+        np.testing.assert_allclose(y, 3.5, atol=3.5 * tol)
+
+    @pytest.mark.parametrize("method", MODES + ["gaussian"])
+    def test_fill_outside(self, method):
+        x = np.ones((4, 4, 4), np.float32)
+        y = resample.itk_resample3d_np(x, (8, 4, 4), scales=[2.0, 1, 1],
+                                       method=method, fill_value=-7.0)
+        # src = 4, 6 are outside [-0.5, 3.5) -> fill
+        np.testing.assert_allclose(y[2:, :, :], -7.0)
+
+    @pytest.mark.parametrize("method", MODES + ["gaussian"])
+    def test_device_matches_host_twin(self, method, rng):
+        x = rng.normal(size=(9, 8, 7)).astype(np.float32)
+        a = np.asarray(resample.itk_resample3d(
+            jnp.asarray(x), (6, 6, 6), scales=[9 / 6, 8 / 6, 7 / 6],
+            method=method))
+        b = resample.itk_resample3d_np(x, (6, 6, 6),
+                                       scales=[9 / 6, 8 / 6, 7 / 6],
+                                       method=method)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_gaussian_smooths(self, rng):
+        # identity-grid gaussian is a (normalized) blur, not a copy
+        x = np.zeros((9, 9, 9), np.float32)
+        x[4, 4, 4] = 1.0
+        y = resample.itk_resample3d_np(x, (9, 9, 9), scales=[1, 1, 1],
+                                       method="gaussian")
+        assert 0.0 < y[4, 4, 4] < 1.0
+        assert y[3, 4, 4] > 0.0
+        np.testing.assert_allclose(y.sum(), 1.0, atol=1e-3)
+
+    def test_label_gaussian_labels_and_fill(self):
+        # two-label volume: outputs stay in the label set; outside -> fill
+        x = np.zeros((6, 6, 6), np.uint8)
+        x[:, :, 3:] = 4
+        y = resample.itk_resample3d_np(x, (12, 6, 6), scales=[2.0, 1, 1],
+                                       method="label_gaussian",
+                                       fill_value=9)
+        assert set(np.unique(y[:3])) <= {0, 4}   # src 0,2,4 inside
+        np.testing.assert_array_equal(y[3:], 9)  # src >= 6 outside
+        dev = np.asarray(resample.itk_resample3d(
+            x, (12, 6, 6), scales=[2.0, 1, 1], method="label_gaussian",
+            fill_value=9))
+        np.testing.assert_array_equal(dev, y)
+
+    def test_bspline_reproduces_smooth_field_better_than_linear(self, rng):
+        # downsample+eval of a smooth field: cubic spline error < linear
+        g = np.linspace(0, np.pi, 16)
+        x = (np.sin(g)[:, None, None] * np.cos(g)[None, :, None] *
+             np.sin(g)[None, None, :]).astype(np.float32)
+        want_src = np.linspace(0, 15, 31)  # scale 0.5 grid
+        gs = np.interp(want_src, np.arange(16), g)
+        want = (np.sin(gs)[:, None, None] * np.cos(g)[None, :, None] *
+                np.sin(g)[None, None, :]).astype(np.float32)
+        lin = resample.itk_resample3d_np(x, (31, 16, 16),
+                                         scales=[0.5, 1, 1])
+        bsp = resample.itk_resample3d_np(x, (31, 16, 16),
+                                         scales=[0.5, 1, 1],
+                                         method="bspline")
+        # interior rows: near the edges the mirror-boundary spline
+        # overshoots (inherent), so the cubic win is an interior property
+        err_l = np.abs(lin - want)[4:26].max()
+        err_b = np.abs(bsp - want)[4:26].max()
+        assert err_b < err_l
+
+
 class TestMhaIO:
     def test_roundtrip_compressed(self, tmp_path, rng):
         from dram_tpu.data import io
