@@ -114,15 +114,17 @@ def main():
                  ((352, 512, 512), (0.9, 0.7, 0.7)),
                  ((448, 512, 512), (0.6, 0.6, 0.6))]
 
-    # overlap: synth of later geometries on a worker while the
-    # (remote-compile-bound) pipeline build + warmup run
+    # overlap: ALL synth generation runs on a worker thread — scan 0
+    # under the (network-bound) backend init, later geometries under the
+    # (remote-compile-bound) pipeline build + warmup
     setup_pool = ThreadPoolExecutor(1)
+    first = setup_pool.submit(synth_scan, geoms[0][0], 0)
     later = [setup_pool.submit(synth_scan, g[0], seed)
              for seed, g in enumerate(geoms[1:], start=1)]
-    scans = [synth_scan(geoms[0][0], seed=0) + (geoms[0][1],)]
-    mark("synth scan 0")
     pipe = build_pipeline()
-    mark("backend init + model init")
+    mark("backend init + model init (synth scan 0 overlapped)")
+    scans = [first.result() + (geoms[0][1],)]
+    mark("synth scan 0 (residual)")
 
     import jax
 

@@ -28,6 +28,8 @@ tests (tests/test_fused_stack.py) and the cm-op unit tests.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -112,13 +114,27 @@ def _unpack(cm):
     return cm.data[..., :cm.H * cm.W].reshape(B, D, C, cm.H, cm.W)
 
 
-def maxpool2_cm(cm):
+def maxpool2_cm(cm, use_pallas=None):
     """2x2x2 max-pool, stride 2 (reference nn.MaxPool3d(2, 2)) on the cm
     layout. Requires even D, H, W (the caller falls back to the NDHWC
-    path otherwise)."""
-    x = _unpack(cm)
-    B, D, C, H, W = x.shape
+    path otherwise).
+
+    Default path: the flat-layout Pallas kernel (pool.py) — one pass
+    over x forward, one x + one dx pass backward, window compaction via
+    MXU block-selection dots; no 5-D view of the activation ever exists
+    (an XLA formulation pays either T(2,128) window-broadcast padding,
+    ~19 ms/step, or lane-strided slices lowered as while-loops with
+    full-resolution DUS scatters, ~27 ms/step, at DC3D bs10).
+    Falls back to the XLA reshape formulation when the kernel is off."""
+    B, D, C, M = cm.data.shape
+    H, W = cm.H, cm.W
     assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0, (D, H, W)
+    from .pool import flat_pool_supported, maxpool2_flat
+    if use_pallas is None:
+        use_pallas = flat_pool_supported(D, H, W)
+    if use_pallas:
+        return CM(maxpool2_flat(cm.data, H, W), H // 2, W // 2)
+    x = _unpack(cm)
     x = x.reshape(B, D // 2, 2, C, H // 2, 2, W // 2, 2)
     x = x.max(axis=(2, 5, 7))
     return CM(_repack(x, cm.dtype), H // 2, W // 2)
@@ -144,9 +160,26 @@ def resize_cm(cm, out_dhw, align_corners=True):
 
 def upsample2x_cm(cm):
     """Align-corners trilinear 2x upsample (reference nn.Upsample
-    scale_factor=2, align_corners=True) on the cm layout."""
-    B, D, C, _ = cm.data.shape
-    return resize_cm(cm, (2 * D, 2 * cm.H, 2 * cm.W), align_corners=True)
+    scale_factor=2, align_corners=True) on the cm layout.
+
+    Pass order is in-plane FIRST (H then W, at the low depth — half the
+    volume of the depth-first order), depth LAST directly on the flat
+    (B, D, C, M) form — so the expensive full-volume pass needs no
+    (B, D, C, H, W) view and the output lands in the kernel layout
+    without a relayout copy (the depth-first order cost ~11 ms/step of
+    resize passes + flat<->5-D copies at the us_2 level). Separable
+    passes commute exactly; f32 compute, like resize_cm."""
+    B, D, C, M = cm.data.shape
+    H, W = cm.H, cm.W
+    x = cm.data[..., :H * W].reshape(B, D, C, H, W).astype(jnp.float32)
+    Wh, _ = _axis_weights(H, 2 * H, "linear_ac", None)
+    Ww, _ = _axis_weights(W, 2 * W, "linear_ac", None)
+    x = jnp.einsum("oh,bdchw->bdcow", jnp.asarray(Wh), x)
+    x = jnp.einsum("ow,bdchw->bdcho", jnp.asarray(Ww), x)
+    flat = _repack(x, jnp.float32)  # (B, D, C, M2) lane-padded plane
+    Wd, _ = _axis_weights(D, 2 * D, "linear_ac", None)
+    y = jnp.einsum("od,bdcm->bocm", jnp.asarray(Wd), flat)
+    return CM(y.astype(cm.dtype), 2 * H, 2 * W)
 
 
 def concat_cm(cms):

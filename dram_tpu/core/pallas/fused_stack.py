@@ -109,27 +109,37 @@ def _slab_prefetch_wait(x_hbm, slab2, sems, b, z, *, BD, D):
     return jax.lax.rem(z, 2)
 
 
-def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
-                acc, patch, slab2, sems, *, H, W, M, Ci, Co, BD, D,
-                prologue, stats):
+def _cbr_kernel(w_ref, s_ref, b_ref, x_hbms, out_refs, stats_ref,
+                acc, patch, slabs, semss, *, H, W, M, ci_parts, co_parts,
+                BD, D, prologue, stats):
     """Conv with optional affine+relu prologue and stats epilogue.
 
-    x_hbm: (B, D, Ci, M) — NOT z-padded; the halo is DMA'd clamped
-    (double-buffered: block z+1 streams while block z computes) and
-    out-of-volume rows are masked during patch build.
+    x_hbms: tuple of (B, D, Ci_p, M) refs — a VIRTUAL channel concat:
+    the parts are streamed into adjacent patch columns, so the
+    concatenated (B, D, sum(Ci_p), M) input never exists in HBM (the
+    decoder's upsample+skip concatenation, reference parts.py:116-155,
+    costs ~14 ms/step materialized at the 80^3 level). NOT z-padded; the
+    halo is DMA'd clamped (double-buffered: block z+1 streams while block
+    z computes) and out-of-volume rows are masked during patch build.
     w_ref: (3, 3*Co, 3*Ci) — dz-major, the dy=-1/0/+1 weight planes
     STACKED on the output dim so each MXU dot writes 3*Co rows (Co=64
     layers only fill half the 128-row MXU otherwise) and the dz loop
     needs one dot instead of three.
-    s_ref/b_ref: (1, Ci) f32 prologue affine.
+    s_ref/b_ref: (1, Ci) f32 prologue affine (concat channel order).
+    out_refs: tuple of (BD, Co_p, M) windows — more than one is the
+    transpose of a virtual concat (the dx of the fused decoder stack
+    lands directly in the two branch cotangents, no HBM split pass).
     stats_ref: (2, Co) f32 accumulators (sum, sumsq) over valid lanes
     (only present when stats=True; the kernel signature drops it
     otherwise via the pallas_call output list).
     """
     b, z = pl.program_id(0), pl.program_id(1)
     z0 = z * BD
+    Ci = sum(ci_parts)
+    Co = sum(co_parts)
 
-    buf = _slab_prefetch_wait(x_hbm, slab2, sems, b, z, BD=BD, D=D)
+    bufs = [_slab_prefetch_wait(x_hbms[p], slabs[p], semss[p], b, z,
+                                BD=BD, D=D) for p in range(len(x_hbms))]
 
     w = w_ref[:]  # (3, 3*Co, 3*Ci)
     if prologue:
@@ -138,16 +148,20 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
 
     # patch rows: prologue affine+relu, z-validity mask (0 outside volume)
     for r in range(BD + 2):
-        row = slab2[buf, r]
-        if prologue:
-            row = jnp.maximum(
-                row.astype(jnp.float32) * s[:, None] + t[:, None], 0.0
-            ).astype(slab2.dtype)
         zvalid = jnp.logical_and(z0 - 1 + r >= 0, z0 - 1 + r < D)
-        row = jnp.where(zvalid, row, jnp.zeros_like(row))
-        for k, dx in enumerate((-1, 0, 1)):
-            patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
-                _plane_valid(H, W, M, 0, dx, row.dtype)
+        off = 0
+        for p, cp in enumerate(ci_parts):
+            row = slabs[p][bufs[p], r]
+            if prologue:
+                row = jnp.maximum(
+                    row.astype(jnp.float32) * s[off:off + cp, None]
+                    + t[off:off + cp, None], 0.0
+                ).astype(slabs[p].dtype)
+            row = jnp.where(zvalid, row, jnp.zeros_like(row))
+            for k, dx in enumerate((-1, 0, 1)):
+                patch[r, pl.ds(k * Ci + off, cp)] = _roll_lanes(row, dx) * \
+                    _plane_valid(H, W, M, 0, dx, row.dtype)
+            off += cp
 
     if stats:
         @pl.when(jnp.logical_and(b == 0, z == 0))
@@ -169,7 +183,10 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, stats_ref,
         for dyi, dy in ((0, -1), (2, 1)):
             o += _roll_lanes(v[dyi * Co:(dyi + 1) * Co], dy * W) * \
                 _plane_valid(H, W, M, dy, 0, jnp.float32)
-        out_ref[r] = o.astype(out_ref.dtype)
+        off = 0
+        for j, cj in enumerate(co_parts):
+            out_refs[j][r] = o[off:off + cj].astype(out_refs[j].dtype)
+            off += cj
         if stats:
             ov = o * lane_v
             stats_ref[0] += jnp.sum(ov, axis=1)
@@ -184,15 +201,16 @@ def _dy_dma(dy_hbm, dyb2, semd, b, z, *, BD, start):
     cp.start() if start else cp.wait()
 
 
-def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb2, slab2,
-                   sems, semd, *, H, W, M, Ci, Co, BD, D, prologue):
+def _dw_kernel_pro(x_hbms, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb2, slabs,
+                   semss, semd, *, H, W, M, ci_parts, Co, BD, D, prologue):
     """dW with the x side streamed through the same optional prologue
     (recomputes the normalized activation instead of materializing it);
-    x_hbm is NOT z-padded (same double-buffered clamped-halo DMA as
-    _cbr_kernel; dy is double-buffered too)."""
+    x_hbms is a tuple of NOT-z-padded virtual-concat parts (same
+    double-buffered clamped-halo DMA as _cbr_kernel; dy too)."""
     b, z = pl.program_id(0), pl.program_id(1)
     nz = pl.num_programs(1)
     z0 = z * BD
+    Ci = sum(ci_parts)
 
     @pl.when(z == 0)
     def _():
@@ -203,7 +221,8 @@ def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb2, slab2,
         def _():
             _dy_dma(dy_hbm, dyb2, semd, b, z + 1, BD=BD, start=True)
 
-    buf = _slab_prefetch_wait(x_hbm, slab2, sems, b, z, BD=BD, D=D)
+    bufs = [_slab_prefetch_wait(x_hbms[p], slabs[p], semss[p], b, z,
+                                BD=BD, D=D) for p in range(len(x_hbms))]
     _dy_dma(dy_hbm, dyb2, semd, b, z, BD=BD, start=False)
 
     @pl.when(jnp.logical_and(b == 0, z == 0))
@@ -215,22 +234,27 @@ def _dw_kernel_pro(x_hbm, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb2, slab2,
         t = b_ref[0].astype(jnp.float32)
 
     for r in range(BD + 2):
-        row = slab2[buf, r]
-        if prologue:
-            row = jnp.maximum(
-                row.astype(jnp.float32) * s[:, None] + t[:, None], 0.0
-            ).astype(slab2.dtype)
         zvalid = jnp.logical_and(z0 - 1 + r >= 0, z0 - 1 + r < D)
-        row = jnp.where(zvalid, row, jnp.zeros_like(row))
-        for k, dx in enumerate((-1, 0, 1)):
-            patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
-                _plane_valid(H, W, M, 0, dx, row.dtype)
+        off = 0
+        for p, cp in enumerate(ci_parts):
+            row = slabs[p][bufs[p], r]
+            if prologue:
+                row = jnp.maximum(
+                    row.astype(jnp.float32) * s[off:off + cp, None]
+                    + t[off:off + cp, None], 0.0
+                ).astype(slabs[p].dtype)
+            row = jnp.where(zvalid, row, jnp.zeros_like(row))
+            for k, dx in enumerate((-1, 0, 1)):
+                patch[r, pl.ds(k * Ci + off, cp)] = _roll_lanes(row, dx) * \
+                    _plane_valid(H, W, M, 0, dx, row.dtype)
+            off += cp
 
     # pad lanes must not leak into the dy_=-1 shifts: unlike the old
     # z-padded wire, dout's pad lanes are NOT guaranteed zero here (the
     # BN backward writes garbage there), and _plane_valid's iy>=H trick
     # admits the first pad row for dy=-1
     lane_v = _lane_valid(H * W, M).astype(dyb2.dtype)
+    buf = jax.lax.rem(z, 2)  # dy's double-buffer slot for block z
     for r in range(BD):
         # stack the 3 dy-shifted cotangent planes on the dot's output dim
         # (one (3Ci, M)x(3Co, M) MXU dot per dz instead of three Co-wide
@@ -269,18 +293,32 @@ def _flip_wk(w, dtype):
     return _wk(wf, dtype)
 
 
-def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
+def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False,
+            out_split=None):
     """One conv on kernel-layout input. Returns (out_cm, stats or None).
 
-    s, b: (Ci,) f32 prologue affine (pass zeros when prologue=False).
+    x_cm: (B, D, Ci, M) array, or a tuple of such parts forming a VIRTUAL
+    channel concat (the parts stream into adjacent patch columns; the
+    concatenated input never exists in HBM). out_split: optional tuple of
+    output channel sizes — the output is written as separate part arrays
+    (a virtual concat's transpose, for the dx of the decoder stacks);
+    returns a tuple of parts then. s, b: (Ci,) f32 prologue affine in
+    concat channel order (pass zeros when prologue=False).
     """
-    B, Ci, M = x_cm.shape[0], x_cm.shape[2], x_cm.shape[3]
+    parts = tuple(x_cm) if isinstance(x_cm, (tuple, list)) else (x_cm,)
+    B, M = parts[0].shape[0], parts[0].shape[3]
+    ci_parts = tuple(p.shape[2] for p in parts)
+    Ci = sum(ci_parts)
     Co = wk.shape[1] // 3  # wk rows are the 3 dy-stacked output planes
+    co_parts = tuple(out_split) if out_split is not None else (Co,)
+    assert sum(co_parts) == Co, (co_parts, Co)
+    assert not (stats and out_split), "stats only on the un-split forward"
+    dt = parts[0].dtype
 
     # full VMEM budget: double-buffered slab + patch rows, f32
     # accumulator, and the DOUBLE-buffered output window (dominant when
     # Co is large, e.g. the dx conv of a 192-channel layer: 2*BD*192*M*4 B)
-    it = x_cm.dtype.itemsize
+    it = dt.itemsize
     row_bytes = 5 * Ci * M * it          # slab (2*Ci) + patch (3*Ci)
     out_bytes = Co * M * it              # output window, 2 buffer levels
     acc_bytes = 3 * Co * M * 4           # dy-stacked accumulator
@@ -291,17 +329,26 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
         BD -= 1
     while D % BD:
         BD -= 1
-    kw = dict(H=H, W=W, M=M, Ci=Ci, Co=Co, BD=BD, D=D,
-              prologue=prologue, stats=stats)
-    if stats:
-        kernel = functools.partial(_cbr_kernel, **kw)
-    else:
-        def kernel(w_ref, s_ref, b_ref, x_hbm, out_ref,
-                   acc, patch, slab2, sems):
-            _cbr_kernel(w_ref, s_ref, b_ref, x_hbm, out_ref, None,
-                        acc, patch, slab2, sems, **kw)
-    out_shapes = [jax.ShapeDtypeStruct((B, D, Co, M), x_cm.dtype)]
-    out_specs = [pl.BlockSpec((None, BD, Co, M), lambda b_, z: (b_, z, 0, 0))]
+    kw = dict(H=H, W=W, M=M, ci_parts=ci_parts, co_parts=co_parts,
+              BD=BD, D=D, prologue=prologue, stats=stats)
+    np_, no = len(parts), len(co_parts)
+
+    def kernel(*refs):
+        w_ref, s_ref, b_ref = refs[:3]
+        x_hbms = refs[3:3 + np_]
+        out_refs = refs[3 + np_:3 + np_ + no]
+        k = 3 + np_ + no
+        stats_ref = refs[k] if stats else None
+        scr = refs[k + (1 if stats else 0):]
+        acc, patch = scr[0], scr[1]
+        slabs, semss = scr[2:2 + np_], scr[2 + np_:2 + 2 * np_]
+        _cbr_kernel(w_ref, s_ref, b_ref, x_hbms, out_refs, stats_ref,
+                    acc, patch, slabs, semss, **kw)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, D, cj, M), dt)
+                  for cj in co_parts]
+    out_specs = [pl.BlockSpec((None, BD, cj, M), lambda b_, z: (b_, z, 0, 0))
+                 for cj in co_parts]
     if stats:
         out_shapes.append(jax.ShapeDtypeStruct((2, Co), jnp.float32))
         out_specs.append(pl.BlockSpec((2, Co), lambda b_, z: (0, 0)))
@@ -312,41 +359,56 @@ def conv_cm(x_cm, wk, s, b, H, W, D, *, prologue, stats, interpret=False):
             pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b_, z: (0, 0, 0)),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * np_,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((3 * Co, M), jnp.float32),
-            pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
-            pltpu.VMEM((2, BD + 2, Ci, M), x_cm.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+            pltpu.VMEM((BD + 2, 3 * Ci, M), dt),
+        ] + [pltpu.VMEM((2, BD + 2, cp, M), dt) for cp in ci_parts]
+          + [pltpu.SemaphoreType.DMA((2,)) for _ in parts],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wk, s.reshape(1, -1), b.reshape(1, -1), x_cm)
-    if stats:
-        return res[0], res[1]
-    return res[0], None
+    )(wk, s.reshape(1, -1), b.reshape(1, -1), *parts)
+    st = res[no] if stats else None
+    outs = tuple(res[:no])
+    return (outs if out_split is not None else outs[0]), st
 
 
 def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
-    """dW from kernel-layout x (through the optional prologue) and dy."""
-    B, _, Ci, M = x_cm.shape
+    """dW from kernel-layout x (through the optional prologue) and dy.
+    x_cm: array or tuple of virtual-concat parts (dw is returned for the
+    whole concatenated Ci — the weight is one parameter either way)."""
+    parts = tuple(x_cm) if isinstance(x_cm, (tuple, list)) else (x_cm,)
+    B, M = parts[0].shape[0], parts[0].shape[3]
+    ci_parts = tuple(p.shape[2] for p in parts)
+    Ci = sum(ci_parts)
+    dt = parts[0].dtype
     Co = dy_cm.shape[2]
-    per_row = (5 * Ci + 2 * Co) * M * x_cm.dtype.itemsize
+    per_row = (5 * Ci + 2 * Co) * M * dt.itemsize
     dw_bytes = 9 * 3 * Ci * Co * 4
     BD = int(max(1, min(8, (80 * 1024 * 1024 - dw_bytes) // per_row - 2)))
     while D % BD:
         BD -= 1
-    kernel = functools.partial(_dw_kernel_pro, H=H, W=W, M=M, Ci=Ci, Co=Co,
-                               BD=BD, D=D, prologue=prologue)
+    kw = dict(H=H, W=W, M=M, ci_parts=ci_parts, Co=Co, BD=BD, D=D,
+              prologue=prologue)
+    np_ = len(parts)
+
+    def kernel(*refs):
+        x_hbms = refs[:np_]
+        dy_hbm, s_ref, b_ref, dw_ref = refs[np_:np_ + 4]
+        scr = refs[np_ + 4:]
+        patch, dyb2 = scr[0], scr[1]
+        slabs = scr[2:2 + np_]
+        semss, semd = scr[2 + np_:2 + 2 * np_], scr[2 + 2 * np_]
+        _dw_kernel_pro(x_hbms, dy_hbm, s_ref, b_ref, dw_ref, patch, dyb2,
+                       slabs, semss, semd, **kw)
+
     dw = pl.pallas_call(
         kernel,
         grid=(B, D // BD),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * np_ + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
             pl.BlockSpec((1, Ci), lambda b_, z: (0, 0)),
@@ -355,19 +417,17 @@ def conv_dw_cm(x_cm, dy_cm, s, b, H, W, D, *, prologue, interpret=False):
                                lambda b_, z: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, 3 * Ci, 3 * Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BD + 2, 3 * Ci, M), x_cm.dtype),
+            pltpu.VMEM((BD + 2, 3 * Ci, M), dt),
             pltpu.VMEM((2, BD, Co, M), dy_cm.dtype),
-            pltpu.VMEM((2, BD + 2, Ci, M), x_cm.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + [pltpu.VMEM((2, BD + 2, cp, M), dt) for cp in ci_parts]
+          + [pltpu.SemaphoreType.DMA((2,)) for _ in parts]
+          + [pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x_cm, dy_cm, s.reshape(1, -1), b.reshape(1, -1))
-    Ci_ = x_cm.shape[2]
+    )(*parts, dy_cm, s.reshape(1, -1), b.reshape(1, -1))
     # (dz, dx*Ci, dy*Co) -> (dz, dy, dx, Ci, Co)
-    return dw.reshape(3, 3, Ci_, 3, Co).transpose(0, 3, 1, 2, 4)
+    return dw.reshape(3, 3, Ci, 3, Co).transpose(0, 3, 1, 2, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -419,8 +479,12 @@ def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
                cm_out=False, axis_name=None):
     """conv->bn->relu->conv->bn->relu as a fused chain.
 
-    x: NDHWC array or a CM kernel-layout activation; w*: (3,3,3,Ci,Co)
-    f32; g/b: BN scale/bias; m/v: running stats. Returns
+    x: NDHWC array, a CM kernel-layout activation, or a tuple of
+    same-plane CMs (virtual channel concat in the reference's order —
+    the decoder's [upsample, skip]; the concatenated tensor never
+    materializes in HBM, and dx comes back as a tuple of part
+    cotangents); w*: (3,3,3,Ci,Co) f32 (Ci = summed part channels); g/b:
+    BN scale/bias; m/v: running stats. Returns
     (y NDHWC — or CM when cm_out, (new_m0, new_v0, new_m1, new_v1)).
     Differentiable in x, w*, g*, b* via a custom VJP; with CM in/out the
     cotangents also stay in the kernel layout (no transposes in either
@@ -433,7 +497,11 @@ def fused_cbr2(x, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
     the trainer's grads-pmean then recovers the exact global gradient;
     tests/test_fused_stack.py::TestFusedDPExact).
     """
-    if isinstance(x, CM):
+    if isinstance(x, (tuple, list)):
+        assert all(isinstance(p, CM) for p in x)
+        assert all((p.H, p.W) == (x[0].H, x[0].W) for p in x[1:])
+        cm_in, hw, xa = True, (x[0].H, x[0].W), tuple(p.data for p in x)
+    elif isinstance(x, CM):
         cm_in, hw, xa = True, (x.H, x.W), x.data
     else:
         cm_in, hw, xa = False, (x.shape[2], x.shape[3]), x
@@ -464,14 +532,21 @@ def _fused_cbr2_vjp(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
 def _fused_fwd(x, w0, g0, b0, w1, g1, b1, m0, v0, m1, v1,
                train, eps, interpret, cm_in, cm_out, hw, axis_name):
     H, W = hw
-    if cm_in:
+    multi = isinstance(x, (tuple, list))
+    if multi:
+        B, D = x[0].shape[0], x[0].shape[1]
+        Ci = sum(p.shape[2] for p in x)
+        x_cm = tuple(x)
+        dt = x[0].dtype
+    elif cm_in:
         B, D = x.shape[0], x.shape[1]
         Ci = x.shape[2]
         x_cm = x
+        dt = x.dtype
     else:
         B, D, _, _, Ci = x.shape
         x_cm = to_cm(x)
-    dt = x.dtype
+        dt = x.dtype
     zero0 = jnp.zeros((Ci,), jnp.float32)
     out0, st0 = conv_cm(x_cm, _wk(w0, dt), zero0, zero0, H, W, D,
                         prologue=False, stats=train, interpret=interpret)
@@ -554,13 +629,15 @@ def _vjp_bwd(train, eps, interpret, cm_in, cm_out, hw, axis_name, res, cot):
     dy, _dstats = cot
     (x_cm, w0, g0, b0, w1, g1, b1, out0, out1, stats) = res
     bm0, bv0, bm1, bv1 = stats
+    multi = isinstance(x_cm, (tuple, list))
+    x0 = x_cm[0] if multi else x_cm
     H, W = hw
-    B, D = x_cm.shape[0], x_cm.shape[1]
+    B, D = x0.shape[0], x0.shape[1]
     HW = H * W
     n = float(B * D * HW)
     if axis_name is not None:
         n = n * float(_axis_size(axis_name))
-    dt = x_cm.dtype
+    dt = x0.dtype
 
     def bn_back(d_post, out, gamma, beta, mean, var):
         return _bn_back_cm(d_post, out, gamma, beta, mean, var, eps=eps,
@@ -581,14 +658,19 @@ def _vjp_bwd(train, eps, interpret, cm_in, cm_out, hw, axis_name, res, cot):
     dout0, dg0, db0 = bn_back(da, out0, g0, b0, bm0, bv0)
 
     z0v = jnp.zeros((dout0.shape[2],), jnp.float32)
+    split = tuple(p.shape[2] for p in x_cm) if multi else None
     dx_cm, _ = conv_cm(dout0, _flip_wk(w0, dt), z0v, z0v, H, W, D,
-                       prologue=False, stats=False, interpret=interpret)
-    zx = jnp.zeros((x_cm.shape[2],), jnp.float32)
+                       prologue=False, stats=False, interpret=interpret,
+                       out_split=split)
+    zx = jnp.zeros((sum(split) if multi else x_cm.shape[2],), jnp.float32)
     dw0 = conv_dw_cm(x_cm, dout0, zx, zx, H, W, D, prologue=False,
                      interpret=interpret)
     dw0 = dw0.astype(w0.dtype)
 
-    dx = dx_cm.astype(dt) if cm_in else from_cm(dx_cm, H, W).astype(dt)
+    if multi:
+        dx = tuple(p.astype(dt) for p in dx_cm)
+    else:
+        dx = dx_cm.astype(dt) if cm_in else from_cm(dx_cm, H, W).astype(dt)
     zf = jnp.zeros_like
     return (dx, dw0.astype(w0.dtype), dg0.astype(g0.dtype),
             db0.astype(b0.dtype), dw1, dg1.astype(g1.dtype),

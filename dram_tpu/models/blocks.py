@@ -216,7 +216,13 @@ class ConvStack(nn.Module):
 
     def _fused(self, x, chain_fn, cm_capable):
         from ..core.pallas.cm import CM
-        if isinstance(x, CM):
+        if isinstance(x, (tuple, list)):
+            # virtual concat: the parts stream straight into the fused
+            # kernel's patch columns (fused_stack.conv_cm) — the decoder's
+            # upsample+skip concatenation never materializes in HBM
+            ci = sum(p.data.shape[2] for p in x)
+            x = tuple(x)
+        elif isinstance(x, CM):
             ci = x.data.shape[2]
         else:
             ci = x.shape[-1]
@@ -226,7 +232,7 @@ class ConvStack(nn.Module):
         g0, b0, m0, v0 = _BNState(f0, name="BatchNorm_0")()
         w1 = _ConvKernel((3, 3, 3, f0, f1), name="conv_1")()
         g1, b1, m1, v1 = _BNState(f1, name="BatchNorm_1")()
-        if ci < 8 and not isinstance(x, CM):
+        if ci < 8 and not isinstance(x, (CM, tuple)):
             # network-entry stack (Ci=1): zero-pad input channels to the
             # kernel's sublane floor so the WHOLE stack runs fused (the
             # XLA first conv costs ~19 ms/step in NDHWC copies + BN
@@ -246,21 +252,28 @@ class ConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..core.pallas.cm import CM, as_ndhwc
+        from ..core.pallas.cm import CM, as_ndhwc, concat_cm
         from ..core.pallas.conv3d import supported as pallas_conv_ok
         from ..core.pallas.fused_stack import (
             fused_cbr2, fused_cbr2_first_xla, fused_stack_supported,
             fused_stack_first_xla_supported)
-        shape = x.logical_shape if isinstance(x, CM) else x.shape
+        if isinstance(x, (tuple, list)):  # virtual concat (tuple of CMs)
+            b, d, h, w, _ = x[0].logical_shape
+            shape = (b, d, h, w, sum(p.data.shape[2] for p in x))
+        else:
+            shape = x.logical_shape if isinstance(x, CM) else x.shape
         if self.use_fused_stack:
             args = (shape, self.features, self.kernel_sizes,
                     self.paddings, self.strides, self.norm_method,
                     self.act_method, self.dropout)
             if fused_stack_supported(*args):
                 return self._fused(x, fused_cbr2, cm_capable=True)
-            if fused_stack_first_xla_supported(*args):
+            if not isinstance(x, (tuple, list)) \
+                    and fused_stack_first_xla_supported(*args):
                 return self._fused(as_ndhwc(x), fused_cbr2_first_xla,
                                    cm_capable=True)
+        if isinstance(x, (tuple, list)):
+            x = concat_cm(list(x))
         x = as_ndhwc(x)
         norm_factory = make_norm(self.norm_method, self.dtype, self.axis_name)
         act = make_act(self.act_method)
@@ -363,15 +376,8 @@ class ConvPoolBlock5d(nn.Module):
             D = y.data.shape[1]
             if (self.pool_size == 2 and self.pool_strides == 2
                     and D % 2 == 0 and y.H % 2 == 0 and y.W % 2 == 0):
-                from ..core.pallas.pool import (maxpool2_cm_pallas,
-                                                pool_supported)
-                if pool_supported(D, y.H, y.W):
-                    # Pallas pool: streams x once / writes dx once; the
-                    # XLA reduce-max backward materializes two full-size
-                    # window broadcasts (~13 ms/step at 80^3/64ch)
-                    data = maxpool2_cm_pallas(y.data, y.H, y.W, D,
-                                              self.fused_interpret)
-                    return y, CM(data, y.H // 2, y.W // 2)
+                # flat-layout Pallas pool on TPU (pool.py), XLA
+                # reshape+reduce-max elsewhere — maxpool2_cm routes
                 return y, maxpool2_cm(y)
             from ..core.pallas.cm import as_ndhwc
             y = as_ndhwc(y)
@@ -407,7 +413,7 @@ class UpsampleConvBlock5d(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        from ..core.pallas.cm import CM, as_ndhwc, concat_cm, upsample2x_cm
+        from ..core.pallas.cm import CM, as_ndhwc, upsample2x_cm
         from ..core.resample import resize3d, upsample2x_local
         sf = self.scale_factor
         if isinstance(sf, (tuple, list)):
@@ -416,9 +422,13 @@ class UpsampleConvBlock5d(nn.Module):
                 and not self.local_upsample
                 and (2 * x.data.shape[1], 2 * x.H, 2 * x.W)
                 == (skip.data.shape[1], skip.H, skip.W)):
-            # cm-resident decoder step: matrix upsample + channel concat,
-            # no crop needed (exact 2x ladder), no layout round trip
-            x = concat_cm([upsample2x_cm(x), skip])
+            # cm-resident decoder step: matrix upsample + VIRTUAL channel
+            # concat (ConvStack streams the parts straight into the fused
+            # kernel; falls back to a real concat_cm on the unfused
+            # path), no crop needed (exact 2x ladder), no layout round
+            # trip. Reference order crop_concat_5d(up, skip)
+            # (parts.py:37-46,116-155).
+            x = (upsample2x_cm(x), skip)
         else:
             x, skip = as_ndhwc(x), as_ndhwc(skip)
             if self.local_upsample and sf == 2:

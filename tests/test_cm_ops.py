@@ -56,38 +56,48 @@ class TestBoundaryOps:
                                    np.asarray(jax.grad(f_nd)(x)),
                                    atol=1e-6)
 
-    def test_maxpool2_pallas_matches_xla(self, rng):
-        """Pallas pool kernel (interpret) == maxpool2_cm forward AND
-        gradient, including the even tie-split (duplicate values in a
-        window, common after ReLU zeros)."""
-        import os
-
-        from dram_tpu.core.pallas.pool import (maxpool2_cm_pallas,
-                                               pool_supported)
-        B, D, H, W, C = 2, 4, 6, 64, 5
-        os.environ["DRAM_PALLAS_POOL"] = "1"
-        try:
-            assert pool_supported(D, H, W)
-        finally:
-            del os.environ["DRAM_PALLAS_POOL"]
+    @pytest.mark.parametrize("shape", [
+        (1, 4, 16, 16, 6),    # lane-exact plane (M == H*W == 256)
+        (1, 4, 10, 14, 5),    # lane-padded plane (140 -> 256)
+        (2, 6, 6, 64, 3),     # W-dominant plane
+    ])
+    def test_maxpool2_flat_pallas_matches_xla(self, rng, shape):
+        """Flat-layout Pallas pool kernel (interpret) == maxpool2_cm
+        forward AND gradient, including the even tie-split (duplicate
+        values in a window, common after ReLU zeros) and zero pad lanes
+        of both the output and dx."""
+        from dram_tpu.core.pallas.pool import maxpool2_flat
+        B, D, H, W, C = shape
         x = _rand(rng, (B, D, H, W, C))
         # force ties inside pooling windows
         x = x.at[:, :, ::2].set(x[:, :, 1::2])
         cm = to_cm_t(x)
 
         def f_pallas(data):
-            out = maxpool2_cm_pallas(data, H, W, D, True)
+            out = maxpool2_flat(data, H, W, True)
             return as_ndhwc(CM(out, H // 2, W // 2))
 
         def f_xla(data):
-            return as_ndhwc(maxpool2_cm(CM(data, H, W)))
+            return as_ndhwc(maxpool2_cm(CM(data, H, W), use_pallas=False))
 
-        np.testing.assert_array_equal(np.asarray(f_pallas(cm.data)),
-                                      np.asarray(f_xla(cm.data)))
-        g_p = jax.grad(lambda d: jnp.sum(f_pallas(d) ** 2))(cm.data)
-        g_x = jax.grad(lambda d: jnp.sum(f_xla(d) ** 2))(cm.data)
+        out_p = maxpool2_flat(cm.data, H, W, True)
+        np.testing.assert_array_equal(
+            np.asarray(as_ndhwc(CM(out_p, H // 2, W // 2))),
+            np.asarray(f_xla(cm.data)))
+        # pad lanes of the pooled output are zero (cm contract)
+        hw2 = (H // 2) * (W // 2)
+        np.testing.assert_array_equal(np.asarray(out_p[..., hw2:]), 0.0)
+        # cotangent with garbage in its pad lanes: dx must ignore it
+        cot = jnp.asarray(rng.normal(size=out_p.shape).astype(np.float32))
+        g_p = jax.grad(
+            lambda d: jnp.sum(maxpool2_flat(d, H, W, True) * cot))(cm.data)
+        g_x = jax.grad(
+            lambda d: jnp.sum(
+                maxpool2_cm(CM(d, H, W), use_pallas=False).data * cot)
+        )(cm.data)
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                    atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g_p[..., H * W:]), 0.0)
 
     @pytest.mark.parametrize("out_dhw", [(8, 12, 20), (3, 4, 5), (4, 6, 10)])
     def test_resize(self, rng, out_dhw):
@@ -188,3 +198,31 @@ class TestFusedAttModel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3, rtol=5e-3,
                                        err_msg=f"grad {p}")
+
+
+class TestMaxpoolFlatTies:
+    """Tie semantics of the flat Pallas pool on ReLU-like data (many
+    exact duplicates) match jnp reduce-max exactly."""
+
+    def test_relu_zero_ties(self, rng):
+        from dram_tpu.core.pallas.pool import maxpool2_flat
+        B, D, H, W, C = 2, 4, 8, 16, 3
+        xn = rng.normal(size=(B, D, H, W, C)).astype(np.float32)
+        xn[xn < 0] = 0.0  # ReLU-like zeros: many tied windows
+        x = jnp.asarray(xn)
+        cm = to_cm_t(x)
+
+        def ref(d):
+            return maxpool2_cm(CM(d, H, W), use_pallas=False).data
+
+        def fast(d):
+            return maxpool2_flat(d, H, W, True)
+
+        np.testing.assert_array_equal(np.asarray(fast(cm.data)),
+                                      np.asarray(ref(cm.data)))
+        cot = jnp.asarray(rng.normal(
+            size=ref(cm.data).shape).astype(np.float32))
+        g1 = jax.grad(lambda d: jnp.sum(fast(d) * cot))(cm.data)
+        g2 = jax.grad(lambda d: jnp.sum(ref(d) * cot))(cm.data)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-6, atol=1e-6)

@@ -315,3 +315,80 @@ def test_supported_predicate():
                                      [1], [1], "bn", "relu", 0.0)
     assert not fused_stack_supported((2, 8, 80, 80, 64), (64, 64), [3, 3],
                                      [1, 1], [1, 1], "bn", "relu", 0.1)
+
+
+class TestVirtualConcat:
+    """fused_cbr2 on a tuple of CM parts (virtual channel concat — the
+    decoder's upsample+skip) must match the chain on the materialized
+    concat, forward and backward, with dx returned as the split parts."""
+
+    @pytest.mark.parametrize("train", [True, False])
+    def test_matches_materialized_concat(self, rng, train):
+        from dram_tpu.core.pallas.cm import to_cm_t, concat_cm, from_cm
+        B, D, H, W = 2, 4, 4, 8
+        C_up, C_skip = 16, 8
+        Ci = C_up + C_skip
+        _, _, g0, b0, m0, v0, _, g1, b1, m1, v1 = _inputs(
+            rng, B=B, D=D, H=H, W=W, Ci=Ci, C0=16, C1=8)
+        w0 = jnp.asarray((rng.normal(size=(3, 3, 3, Ci, 16)) * 0.1)
+                         .astype(np.float32))
+        w1 = jnp.asarray((rng.normal(size=(3, 3, 3, 16, 8)) * 0.1)
+                         .astype(np.float32))
+        up = jnp.asarray(rng.normal(size=(B, D, H, W, C_up))
+                         .astype(np.float32))
+        skip = jnp.asarray(rng.normal(size=(B, D, H, W, C_skip))
+                           .astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(B, D, H, W, 8))
+                          .astype(np.float32))
+
+        def loss_virtual(up, skip, w0, g0, b0, w1, g1, b1):
+            xs = (to_cm_t(up), to_cm_t(skip))
+            y, _ = fused_cbr2(xs, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
+                              train=train, interpret=True, cm_out=True)
+            return jnp.sum(from_cm(y.data, H, W) * cot)
+
+        def loss_concat(up, skip, w0, g0, b0, w1, g1, b1):
+            xc = concat_cm([to_cm_t(up), to_cm_t(skip)])
+            y, _ = fused_cbr2(xc, w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
+                              train=train, interpret=True, cm_out=True)
+            return jnp.sum(from_cm(y.data, H, W) * cot)
+
+        args = (up, skip, w0, g0, b0, w1, g1, b1)
+        lv, lc = float(loss_virtual(*args)), float(loss_concat(*args))
+        assert lv == pytest.approx(lc, rel=1e-4, abs=1e-4)
+        gv = jax.grad(loss_virtual, argnums=tuple(range(8)))(*args)
+        gc = jax.grad(loss_concat, argnums=tuple(range(8)))(*args)
+        for a, b, nm in zip(gv, gc, ("up", "skip", "w0", "g0", "b0",
+                                     "w1", "g1", "b1")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"virtual-concat grad {nm} "
+                                               f"({train=})")
+
+    def test_convstack_tuple_input_module(self, rng):
+        """ConvStack takes a tuple of CMs on both the fused and the
+        fallback (materialized) path with identical results."""
+        from dram_tpu.core.pallas.cm import to_cm_t, concat_cm
+        from dram_tpu.models.blocks import ConvStack
+        B, D, H, W = 1, 4, 4, 8
+        up = jnp.asarray(rng.normal(size=(B, D, H, W, 16))
+                         .astype(np.float32))
+        skip = jnp.asarray(rng.normal(size=(B, D, H, W, 8))
+                           .astype(np.float32))
+        xs = (to_cm_t(up), to_cm_t(skip))
+
+        def run(use_fused, x):
+            m = ConvStack([16, 8], [3, 3], [1, 1], [1, 1], False,
+                          "bn", "relu", 0.0, train=False,
+                          use_fused_stack=use_fused,
+                          fused_interpret=True, cm_out=use_fused)
+            v = m.init(jax.random.PRNGKey(0), x)
+            return m.apply(v, x), v
+
+        y_f, v_f = run(True, xs)
+        y_u, v_u = run(False, concat_cm(list(xs)))
+        assert jax.tree_util.tree_structure(v_f) \
+            == jax.tree_util.tree_structure(v_u)
+        from dram_tpu.core.pallas.cm import as_ndhwc
+        np.testing.assert_allclose(np.asarray(as_ndhwc(y_f)),
+                                   np.asarray(y_u), atol=2e-3, rtol=2e-3)

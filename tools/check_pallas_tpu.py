@@ -203,6 +203,28 @@ def check_fused_stack():
     y_cm = jax.jit(f_cm)(x)
     ok &= _report("fused stack cm-in/cm-out vs NDHWC", y_cm, yf,
                   atol=0.0, rtol=0.0)
+
+    # VIRTUAL concat (tuple of CM parts, the decoder's upsample+skip
+    # streaming path): must be bit-identical to the same stack on the
+    # materialized concat — the kernel only changes which HBM ref each
+    # patch column streams from. 192 = 128 (upsampled) + 64 (skip).
+    def f_vc(x, cot):
+        parts = (to_cm_t(x[..., :128]), to_cm_t(x[..., 128:]))
+        y, _ = fused_cbr2(parts, w0, g0, b0, m0, v0, w1, g1, b1,
+                          m1, v1, train=True, cm_out=True)
+        return jnp.sum(as_ndhwc(y) * cot)
+
+    y_vc = jax.jit(lambda x: as_ndhwc(fused_cbr2(
+        (to_cm_t(x[..., :128]), to_cm_t(x[..., 128:])),
+        w0, g0, b0, m0, v0, w1, g1, b1, m1, v1,
+        train=True, cm_out=True)[0]))(x)
+    ok &= _report("fused stack VIRTUAL concat vs single CM", y_vc, yf,
+                  atol=0.0, rtol=0.0)
+    g_vc = jax.jit(jax.grad(f_vc))(x, cot)
+    g_cm = jax.jit(jax.grad(lambda x, cot:
+                            jnp.sum(f_cm(x) * cot)))(x, cot)
+    ok &= _report("fused stack VIRTUAL concat dx", g_vc, g_cm,
+                  atol=0.0, rtol=0.0)
     return ok
 
 
@@ -213,7 +235,7 @@ def check_pool():
     import time
 
     from dram_tpu.core.pallas.cm import CM, maxpool2_cm
-    from dram_tpu.core.pallas.pool import maxpool2_cm_pallas
+    from dram_tpu.core.pallas.pool import maxpool2_flat
 
     B, D, H, W, C = 10, 80, 80, 80, 64
     rng = np.random.default_rng(3)
@@ -221,10 +243,10 @@ def check_pool():
     HW2 = (H // 2) * (W // 2)
 
     def f_p(d):
-        return maxpool2_cm_pallas(d, H, W, D)[..., :HW2]
+        return maxpool2_flat(d, H, W)[..., :HW2]
 
     def f_x(d):
-        return maxpool2_cm(CM(d, H, W)).data[..., :HW2]
+        return maxpool2_cm(CM(d, H, W), use_pallas=False).data[..., :HW2]
 
     t0 = time.time()
     got = jax.jit(f_p)(x)
