@@ -155,7 +155,8 @@ class TestDataset(Dataset):
         self.lobe_path = lobe_path
         self.crop_border = crop_border
         self.transforms = transforms
-        scans = glob.glob(os.path.join(scan_path, "*.mha"))
+        scans = glob.glob(os.path.join(scan_path, "*.mha")) + \
+            glob.glob(os.path.join(scan_path, "*.mhd"))
         uids = [Path(s).stem for s in scans]
         self.series_uids = sorted(uids) if keep_sorted else uids
         self.uids = self.series_uids  # engine-facing alias
@@ -166,10 +167,20 @@ class TestDataset(Dataset):
     def __getitem__(self, index):
         return self.get_data(self.series_uids[index])
 
+    @staticmethod
+    def _volume_path(folder, uid):
+        """uid -> file path, accepting both ITK MetaImage layouts
+        (single-file .mha, or .mhd header + external raw)."""
+        for ext in (".mha", ".mhd"):
+            p = os.path.join(folder, uid + ext)
+            if os.path.exists(p):
+                return p
+        return os.path.join(folder, uid + ".mha")
+
     def get_data(self, uid):
         scan, origin, spacing, direction = _read_volume(
-            os.path.join(self.scan_path, f"{uid}.mha"))
-        lobe, *_ = _read_volume(os.path.join(self.lobe_path, f"{uid}.mha"))
+            self._volume_path(self.scan_path, uid))
+        lobe, *_ = _read_volume(self._volume_path(self.lobe_path, uid))
         assert lobe.shape == scan.shape
         base = {"uid": uid, "size": scan.shape, "spacing": spacing,
                 "original_spacing": spacing, "original_size": scan.shape,

@@ -60,18 +60,33 @@ def _parse_header(fp):
 
 
 def read_mha(path):
-    """Read a .mha file -> dict with keys:
+    """Read a MetaImage file -> dict with keys:
 
     array      np.ndarray in (z, y, x) order
     spacing    (z, y, x) float tuple
     origin     (z, y, x) float tuple
     direction  length-9 list, (z, y, x)-row-order flattened 3x3
+
+    Accepts both common ITK layouts the reference's SimpleITK reader
+    (reference utils.py:142-159, dataset.py:50-57) handles silently:
+    single-file `.mha` (ElementDataFile = LOCAL) and `.mhd` headers whose
+    ElementDataFile names an external `.raw`/`.zraw` file (resolved
+    relative to the header's directory). LIST / printf-pattern slice
+    layouts remain unsupported.
     """
     with open(path, "rb") as fp:
         header = _parse_header(fp)
-        if header.get("ElementDataFile", "LOCAL").upper() != "LOCAL":
-            raise NotImplementedError("only single-file .mha (LOCAL data) supported")
-        raw = fp.read()
+        edf = header.get("ElementDataFile", "LOCAL")
+        if edf.upper() == "LOCAL":
+            raw = fp.read()
+        elif edf.upper() == "LIST" or "%" in edf:
+            raise NotImplementedError(
+                "LIST / pattern ElementDataFile layouts not supported")
+        else:
+            data_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                     edf)
+            with open(data_path, "rb") as dfp:
+                raw = dfp.read()
 
     ndims = int(header.get("NDims", 3))
     dims = [int(v) for v in header["DimSize"].split()]  # x y z
@@ -105,8 +120,10 @@ def read_mha(path):
 
 def write_mha(path, array, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
               direction=None, compress=True):
-    """Write a (z, y, x) array to .mha. spacing/origin are z-y-x ordered;
-    direction is a length-9 z-y-x-row-order list (or None for identity)."""
+    """Write a (z, y, x) array to MetaImage. spacing/origin are z-y-x
+    ordered; direction is a length-9 z-y-x-row-order list (or None for
+    identity). A `.mhd` path writes the two-file header + external
+    `.raw`/`.zraw` layout; anything else writes single-file LOCAL data."""
     array = np.asarray(array)
     array = np.ascontiguousarray(array)
     if array.dtype == np.bool_:
@@ -136,6 +153,10 @@ def write_mha(path, array, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
         lines.append(f"CompressedDataSize = {len(payload)}")
     else:
         lines.append("CompressedData = False")
+    two_file = os.path.splitext(path)[1].lower() == ".mhd"
+    if two_file:
+        data_name = os.path.basename(os.path.splitext(path)[0]) + \
+            (".zraw" if compress else ".raw")
     lines += [
         "TransformMatrix = " + " ".join(f"{v:g}" for v in dir_xyz.flatten()),
         "Offset = " + " ".join(f"{v:g}" for v in origin_xyz),
@@ -143,13 +164,18 @@ def write_mha(path, array, spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
         "ElementSpacing = " + " ".join(f"{v:g}" for v in spacing_xyz),
         f"DimSize = " + " ".join(str(v) for v in dims_xyz),
         f"ElementType = {met_type}",
-        "ElementDataFile = LOCAL",
+        "ElementDataFile = " + (data_name if two_file else "LOCAL"),
     ]
     header = ("\n".join(lines) + "\n").encode("ascii")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as fp:
         fp.write(header)
-        fp.write(payload)
+        if not two_file:
+            fp.write(payload)
+    if two_file:
+        with open(os.path.join(os.path.dirname(os.path.abspath(path)),
+                               data_name), "wb") as fp:
+            fp.write(payload)
 
 
 def resample_mha_file(input_filename, output_filename, factor=2,

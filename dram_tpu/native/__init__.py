@@ -22,10 +22,17 @@ _LIB = None
 
 
 def _build():
+    # per-process temp name: two processes building concurrently must not
+    # interleave writes before the atomic os.replace
+    tmp = _SO + ".tmp%d" % os.getpid()
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           _SRC, "-o", _SO + ".tmp"]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+           _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _lib():

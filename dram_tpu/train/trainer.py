@@ -433,14 +433,15 @@ class JobRunner:
                          self.compute_dtype.__name__, jax.device_count())
 
     def print_model_parameters(self, iteration):
-        """Per-parameter mean/std scalars to the summary writer
-        (reference job_runner.py:347-354; histograms when tensorboard
-        is available)."""
+        """Per-parameter histogram + mean/std scalars to the summary
+        writer (reference job_runner.py:347-354 incl. the add_histogram
+        at :352; JSONL quantile histograms when tensorboard is absent)."""
         flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
         for path, p in flat:
             name = "_".join(str(k.key) if hasattr(k, "key") else str(k)
                             for k in path)
             arr = np.asarray(p)
+            self.summary_writer.add_histogram(name, arr, iteration)
             self.summary_writer.add_scalar(f"mean_{name}", float(arr.mean()),
                                            iteration)
             self.summary_writer.add_scalar(f"std_{name}", float(arr.std()),

@@ -231,13 +231,16 @@ class SummaryWriter:
             from torch.utils.tensorboard import SummaryWriter as TB
             self._tb = TB(log_dir=log_dir)
         except Exception:
-            self._fp = open(os.path.join(log_dir, "scalars.jsonl"), "at")
+            pass
 
     def add_scalars(self, tag, scalars, global_step):
         if self._tb is not None:
             self._tb.add_scalars(tag, scalars, global_step)
         else:
             import json
+            if not hasattr(self, "_fp"):
+                self._fp = open(os.path.join(self.log_dir,
+                                             "scalars.jsonl"), "at")
             self._fp.write(json.dumps({"tag": tag, "step": global_step,
                                        **{k: float(v) for k, v in scalars.items()}}) + "\n")
             self._fp.flush()
@@ -245,8 +248,29 @@ class SummaryWriter:
     def add_scalar(self, tag, value, global_step):
         self.add_scalars(tag, {tag: value}, global_step)
 
+    def add_histogram(self, tag, values, global_step):
+        """Per-parameter histogram (reference job_runner.py:352): real
+        tensorboard histograms when available, else a deciles + min/max
+        summary line in histograms.jsonl."""
+        values = np.asarray(values)
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, global_step)
+            return
+        import json
+        if not hasattr(self, "_hfp"):
+            self._hfp = open(os.path.join(self.log_dir,
+                                          "histograms.jsonl"), "at")
+        q = np.quantile(values.astype(np.float64).reshape(-1),
+                        np.linspace(0.0, 1.0, 11))
+        self._hfp.write(json.dumps({
+            "tag": tag, "step": global_step, "count": int(values.size),
+            "quantiles": [float(v) for v in q]}) + "\n")
+        self._hfp.flush()
+
     def close(self):
         if self._tb is not None:
             self._tb.close()
         elif hasattr(self, "_fp"):
             self._fp.close()
+        if hasattr(self, "_hfp"):
+            self._hfp.close()

@@ -62,6 +62,10 @@ if __name__ == "__main__":
     parser.add_argument("--ckp_path", type=str, default=None,
                         help="checkpoint to load")
     parser.add_argument("--task_name", type=str, default="test")
+    parser.add_argument("--shard", type=str, default=None,
+                        help="scan-level multi-chip parallelism: N scans "
+                             "in flight, one per chip ('auto'/'-1' = every "
+                             "local device)")
     parser.add_argument("--use_test_split", action="store_true",
                         help="score the settings' TEST_CSV split instead of "
                              "an input directory")

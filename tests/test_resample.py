@@ -2,6 +2,8 @@
 semantics (align_corners trilinear / nearest), and hand-computed index maps
 validate the ITK-style data-pipeline resampler."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -224,6 +226,50 @@ class TestMhaIO:
         p = str(tmp_path / "f.mha")
         io.write_mha(p, arr)
         np.testing.assert_allclose(io.read_mha(p)["array"], arr)
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_mhd_external_raw_roundtrip(self, tmp_path, rng, compress):
+        """.mhd header + external .raw/.zraw — the second common ITK
+        layout the reference's SimpleITK reader accepted silently
+        (reference utils.py:142-159)."""
+        from dram_tpu.data import io
+        arr = (rng.normal(size=(6, 8, 10)) * 200).astype(np.int16)
+        p = str(tmp_path / "vol.mhd")
+        io.write_mha(p, arr, spacing=(1.5, 0.8, 0.8),
+                     origin=(-4.0, 2.0, 0.5), compress=compress)
+        data = str(tmp_path / ("vol.zraw" if compress else "vol.raw"))
+        assert os.path.exists(data)
+        # the header file itself carries no pixel payload
+        assert os.path.getsize(p) < 512
+        got = io.read_mha(p)
+        np.testing.assert_array_equal(got["array"], arr)
+        assert got["spacing"] == pytest.approx((1.5, 0.8, 0.8))
+        assert got["origin"] == pytest.approx((-4.0, 2.0, 0.5))
+
+    def test_mhd_handwritten_header(self, tmp_path):
+        """A .mhd written by another tool (absolute key spacing order,
+        uncompressed raw, trailing whitespace) parses identically."""
+        from dram_tpu.data import io
+        arr = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+        (tmp_path / "x.raw").write_bytes(arr.tobytes())
+        (tmp_path / "x.mhd").write_text(
+            "ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+            "BinaryDataByteOrderMSB = False\n"
+            "ElementSpacing = 0.5 0.5 2\n"
+            "DimSize = 4 3 2\n"
+            "ElementType = MET_UCHAR\n"
+            "ElementDataFile = x.raw\n")
+        got = io.read_mha(str(tmp_path / "x.mhd"))
+        np.testing.assert_array_equal(got["array"], arr)
+        assert got["spacing"] == pytest.approx((2.0, 0.5, 0.5))
+
+    def test_mhd_list_layout_rejected(self, tmp_path):
+        from dram_tpu.data import io
+        (tmp_path / "l.mhd").write_text(
+            "ObjectType = Image\nNDims = 3\nDimSize = 4 3 2\n"
+            "ElementType = MET_UCHAR\nElementDataFile = LIST\n")
+        with pytest.raises(NotImplementedError):
+            io.read_mha(str(tmp_path / "l.mhd"))
 
 
 class TestITKGolden:

@@ -114,6 +114,37 @@ class TestViz:
         assert os.path.exists(str(tmp_path / "contour.jpg"))
         assert os.path.exists(str(tmp_path / "heat.jpg"))
 
+    def test_summary_histogram_tensorboard(self, tmp_path):
+        """add_histogram (reference job_runner.py:352) writes a real TB
+        event when tensorboard is importable."""
+        from dram_tpu.viz import SummaryWriter
+        w = SummaryWriter(str(tmp_path / "tb"))
+        if w._tb is None:
+            pytest.skip("tensorboard not importable in this env")
+        w.add_histogram("conv_0_kernel", np.random.default_rng(0)
+                        .normal(size=(3, 3, 3, 4)), 7)
+        w.close()
+        evs = [f for f in os.listdir(str(tmp_path / "tb"))
+               if "tfevents" in f]
+        assert evs and max(os.path.getsize(os.path.join(
+            str(tmp_path / "tb"), f)) for f in evs) > 0
+
+    def test_summary_histogram_jsonl_fallback(self, tmp_path):
+        import json
+        from dram_tpu.viz import SummaryWriter
+        w = SummaryWriter(str(tmp_path / "js"))
+        w._tb = None  # force the no-tensorboard backend
+        vals = np.linspace(-1.0, 1.0, 101)
+        w.add_histogram("p", vals, 3)
+        w.close()
+        lines = [json.loads(l) for l in open(
+            str(tmp_path / "js" / "histograms.jsonl"))]
+        assert lines[0]["tag"] == "p" and lines[0]["step"] == 3
+        assert lines[0]["count"] == 101
+        q = lines[0]["quantiles"]
+        assert q[0] == pytest.approx(-1.0) and q[-1] == pytest.approx(1.0)
+        assert q[5] == pytest.approx(0.0)
+
 
 class TestSeedCache:
     """warm_cache seeding: tracked xz entries unpack into a fresh runtime
