@@ -1,17 +1,30 @@
 #!/usr/bin/env python3
 """Headline benchmark: CT volumes/min/chip, prep -> lesion mask, end-to-end.
 
-Runs the flagship DC3DATGeneric pipeline on synthetic 512x512x400 thorax
-scans — the BASELINE.json driver metric — in production shape: a host
-prep thread (iso resample + 12/4-bit wire packing, dram_tpu.data.hostprep)
-prefetches the next scan while the chip runs the batched per-lobe chunk
-pipeline (dram_tpu.infer.fast) for the current one; outputs come back
-bit-packed. Prints ONE JSON line:
+Runs the flagship DC3DATGeneric pipeline on synthetic 512x512x400-class
+thorax scans — the BASELINE.json driver metric — in production shape: a
+host prep thread (C++ iso resample + chunk-wire packing,
+dram_tpu.infer.fast.prep_scan_chunks) prefetches upcoming scans while the
+chip runs the batched per-lobe chunk pipeline for the current one;
+outputs come back bit-packed. Prints exactly ONE JSON line on stdout:
 
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 vs_baseline = measured volumes/min over the 12 volumes/min implied by the
 driver's 5 s/scan target (BASELINE.md); > 1.0 beats the target.
+
+Diagnosability (all on stderr, so the driver tail carries it):
+  * `# xla-cache HIT/MISS <module>` per jitted program at setup — a stale
+    warm_cache/ seed is loud instead of silently costing minutes;
+  * per-scan stage split in the timed loop: prep / h2d / dispatch /
+    device-wait / d2h ms, plus the scan's geometry — tunnel stalls,
+    prep starvation, and program swaps become attributable;
+  * a fixed-geometry CONTROL loop after the clock (geometry 0 only) to
+    calibrate tunnel state against the mixed-geometry headline;
+  * a wc-vs-w8 wire parity line at the production geometry (Dice +
+    differing-voxel count; BENCH_PARITY=0 skips);
+  * a training-throughput record (flagship train step, ms/step +
+    chunks/s; BENCH_TRAIN=0 skips) as a JSON line on stderr.
 """
 
 import json
@@ -82,24 +95,153 @@ MIXED_GEOMS = [
 ]
 
 
-def main():
+def _err(line):
+    print(line, file=sys.stderr, flush=True)
+
+
+def wire_parity_check(pipe, scan, lobe, spacing, span, wc_out):
+    """wc vs w8 masks on the production geometry (VERDICT: the wc wire's
+    u8 chunk quantization is bounded by Dice gates on small synthetic
+    scans; re-assert the bound at 512-class scale on hardware each round).
+    Reference post rules being compared: dram/job_runner.py:1008-1014."""
+    import jax
     from dram_tpu.data.hostprep import prep_scan
+
+    t0 = time.time()
+    prep = prep_scan(scan, lobe, spacing, windowing_span=span)
+    prep["packed_scan"] = jax.device_put(prep["packed_scan"])
+    prep["packed_lobe"] = jax.device_put(prep["packed_lobe"])
+    w8 = pipe.process_prepped(prep, unpack=True)
+    lines = []
+    for name in ("pred", "post"):
+        a = wc_out[name].astype(bool)
+        b = w8[name].astype(bool)
+        inter = int(np.logical_and(a, b).sum())
+        na, nb = int(a.sum()), int(b.sum())
+        dice = 2.0 * inter / max(na + nb, 1)
+        diff = int(np.logical_xor(a, b).sum())
+        lines.append(f"{name}: dice={dice:.4f} voxdiff={diff} "
+                     f"(wc={na} w8={nb})")
+    _err(f"# wire-parity wc vs w8 @ {scan.shape}: " + "; ".join(lines)
+         + f" [{time.time() - t0:.1f}s incl. w8 compile/load]")
+
+
+def train_microbench(steps=8, batch=10):
+    """Flagship training-step throughput on the real chip (the 384 ms
+    BASELINE row), as a driver-visible record: DC3DATGeneric bs10 x 80^3
+    bf16, fused stacks + Pallas conv/attention, remat off (shipped
+    configs), IntRegRefineLoss + Adam in one jitted program. Models the
+    reference train hot loop dram/job_runner.py:649-681."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dram_tpu.losses import IntRegRefineLoss
+    from dram_tpu.models import DC3DATGeneric
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = DC3DATGeneric(
+        n_layers=3, in_ch_list=(1, 64, 128, 256, 768, 384, 192),
+        base_ch_list=(32, 64, 128, 256, 256, 128, 64),
+        end_ch_list=(64, 128, 256, 512, 256, 128, 64),
+        padding_list=((1, 1),) * 7, checkpoint_layers=(0,) * 7,
+        kernel_sizes=[(3, 3)] * 7, stacking=3, dropout=0.0,
+        at_layers=(-1, 0, 1), at_spatial_size=(64, 64, 64),
+        at_f_dim=8, at_g_dim=8,
+        at_merge_type="scaled_dot_product_relu", at_g_iter=1,
+        use_pallas_attention=on_tpu, use_pallas_conv=on_tpu,
+        use_fused_stack=on_tpu, train=True, dtype=jnp.bfloat16)
+
+    B = batch
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(B, 80, 80, 80, 1)), jnp.float32)
+    lobes = jnp.asarray(rng.uniform(size=(B, 80, 80, 80, 1)) > 0.3,
+                        jnp.float32)
+    lesions = jnp.asarray(rng.uniform(size=(B, 80, 80, 80, 1)) > 0.9,
+                          jnp.float32)
+    ctss = jnp.asarray(rng.integers(0, 6, size=(B,)), jnp.int32)
+    freq = jnp.full((6,), 1.0 / 6.0, jnp.float32)
+    weights = jnp.ones((B,), jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, images[:1], lobes[:1])
+    params, batch_stats = variables["params"], variables.get(
+        "batch_stats", {})
+    loss_func = IntRegRefineLoss(band_width=1e-2, smoothing=0.1)
+    factors = [2.0, 1.0]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def train_step(params, batch_stats, opt_state, rng):
+        def loss_fn(p):
+            carry = {"bs": batch_stats}
+
+            def model_fn(im, lo):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": carry["bs"]},
+                    im, lo, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                carry["bs"] = mut["batch_stats"]
+                return out
+
+            losses = loss_func(model_fn, images, lobes, lesions, ctss,
+                               ctss_frequency=freq, rng=rng,
+                               sample_weight=weights)
+            total = sum(l * f for l, f in zip(losses, factors))
+            return total, (jnp.stack(losses), carry["bs"])
+
+        (loss, (_, new_bs)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    t0 = time.time()
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, key)
+    float(loss)  # real D2H: block_until_ready can return early here
+    _err(f"# train: compile+first step {time.time() - t0:.1f}s")
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jax.random.PRNGKey(i))
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) * 1e3
+    _err(f"# train: per-step {[round(t * 1e3) for t in times]} ms "
+         f"-> median {ms:.1f} ms/step")
+    return {"metric": "train_chunks_per_sec", "value": round(B / ms * 1e3, 2),
+            "unit": "chunks/s", "ms_per_step": round(ms, 1), "batch": B}
+
+
+def main():
     from dram_tpu.infer.fast import prep_scan_chunks
-    from dram_tpu.utils import enable_compilation_cache
+    from dram_tpu.utils import enable_compilation_cache, log_cache_events
 
     enable_compilation_cache()
+    log_cache_events()  # "# xla-cache HIT/MISS <module>" on stderr
+    try:  # label the per-executable deserialize/load cost (tunnel-bound)
+        from jax._src import monitoring
+
+        def _dur(event, duration, **kw):
+            if event == "/jax/compilation_cache/cache_retrieval_time_sec" \
+                    and duration > 1.0:
+                _err(f"# xla-cache   ... executable load {duration:.1f}s")
+        monitoring.register_event_duration_secs_listener(_dur)
+    except Exception:
+        pass
     t_setup = time.time()
     t_last = [t_setup]
 
     def mark(what):
         t = time.time()
-        print(f"# setup: {what} +{t - t_last[0]:.1f}s (t={t - t_setup:.1f}s)",
-              file=sys.stderr)
+        _err(f"# setup: {what} +{t - t_last[0]:.1f}s (t={t - t_setup:.1f}s)")
         t_last[0] = t
     mixed = os.environ.get("BENCH_MIXED", "0") == "1"
     span = (-1000, -700)
     n_scans = int(os.environ.get("BENCH_SCANS",
                                  str(2 * len(MIXED_GEOMS)) if mixed else "12"))
+    n_control = int(os.environ.get("BENCH_CONTROL", "6"))
     # "wc" (default): host-extracted chunk wire, ~4x less H2D than "w8"
     wire = os.environ.get("BENCH_WIRE", "wc")
 
@@ -134,22 +276,28 @@ def main():
     try:
         native_built.result()
     except Exception as e:  # no toolchain: NumPy prep fallbacks take over
-        print(f"# native build unavailable ({e!r}); using NumPy host prep",
-              file=sys.stderr)
+        _err(f"# native build unavailable ({e!r}); using NumPy host prep")
     scans = [first.result() + (geoms[0][1],)]
     mark("synth scan 0 + native build (residual)")
 
     import jax
 
     def prep_and_upload(scan, lobe, spacing):
+        """Host prep + async H2D for one scan; stage times ride along."""
+        t0 = time.perf_counter()
         if wire == "wc":
             prep = prep_scan_chunks(scan, lobe, spacing,
                                     windowing_span=span)
+            t1 = time.perf_counter()
             pipe.upload_chunks_prep(prep)
         else:
+            from dram_tpu.data.hostprep import prep_scan
             prep = prep_scan(scan, lobe, spacing, windowing_span=span)
+            t1 = time.perf_counter()
             prep["packed_scan"] = jax.device_put(prep["packed_scan"])
             prep["packed_lobe"] = jax.device_put(prep["packed_lobe"])
+        prep["_t_prep"] = t1 - t0
+        prep["_t_h2d"] = time.perf_counter() - t1
         return prep
 
     def run_device(prep, unpack):
@@ -163,18 +311,18 @@ def main():
     # loop cold, which is the point.
     prep0 = prep_and_upload(*scans[0])
     mark("host prep scan 0")
-    out = run_device(prep0, True)
+    out0 = run_device(prep0, True)
     mark("pipeline compile + warmup scan 0")
     for f, g in zip(later, geoms[1:]):
         scans.append(f.result() + (g[1],))
-    assert out["pred"].shape == geoms[0][0]
+    assert out0["pred"].shape == geoms[0][0]
     if not mixed:
         for k in range(1, len(scans)):
             outk = run_device(prep_and_upload(*scans[k]), False)
             np.asarray(outk.get("masks_packed", outk["pred_packed"]))
             mark(f"warmup scan {k} (geometry {geoms[k][0]})")
-    print(f"# setup+compile {time.time() - t_setup:.1f}s; "
-          f"pred voxels {int(out['pred'].sum())}", file=sys.stderr)
+    _err(f"# setup+compile {time.time() - t_setup:.1f}s; "
+         f"pred voxels {int(out0['pred'].sum())}")
 
     # throughput, 3-stage software pipeline: prep workers resample+pack
     # and start the async H2D for upcoming scans while the device runs
@@ -182,74 +330,141 @@ def main():
     # finishes on its own thread
     def finish(out):
         from dram_tpu.core.ops import unpackbits_np
+        # the tiny meta fetch blocks until the device chain is done (its
+        # wall is device-bound time); the packed-mask fetch after it is
+        # the real D2H
+        t0 = time.perf_counter()
+        np.asarray(out["meta"]) if "meta" in out \
+            else np.asarray(out["threshold"])
+        t1 = time.perf_counter()
         lo, oshape = out["out_window"]
         sl = tuple(slice(l, l + s) for l, s in zip(lo, oshape))
         if "masks_packed" in out:  # wc wire: pred+post in ONE D2H fetch
             packed = np.asarray(out["masks_packed"])[0]
         else:
             packed = np.asarray(out["pred_packed"])
+        t2 = time.perf_counter()
         pred = np.zeros(out["out_shape"], np.uint8)
         pred[sl] = unpackbits_np(packed, oshape)
-        return int(pred[0, 0, 0] >= 0)
+        return int(pred[0, 0, 0] >= 0), t1 - t0, t2 - t1
 
-    prep_pool = ThreadPoolExecutor(2)
-    finish_pool = ThreadPoolExecutor(1)
-    depth = 2
-    # fill the prep pipeline before starting the clock: the metric is
-    # steady-state volumes/min (the two warmup scans above already paid
-    # one full cold pass each)
-    queue = [prep_pool.submit(prep_and_upload, *scans[k % len(scans)])
-             for k in range(min(depth, n_scans))]
-    queue[0].result()
-    t0 = time.time()
-    pending = None
-    done = 0
-    marks = []
-    for k in range(n_scans):
-        prep = queue.pop(0).result()
-        if k + depth < n_scans:
-            queue.append(prep_pool.submit(
-                prep_and_upload, *scans[(k + depth) % len(scans)]))
-        out = run_device(prep, False)
-        if pending is not None:
-            done += pending.result()
-        pending = finish_pool.submit(finish, out)
-        marks.append(time.time())
-    done += pending.result()
-    marks[-1] = time.time()
-    dt = time.time() - t0
-    # the dev/driver TPU rides a shared tunnel with multi-second transient
-    # stalls; the median per-scan interval is the steady-state throughput
-    # (the mean is reported alongside for transparency)
-    per_scan = np.diff([t0] + marks)
+    def timed_loop(schedule, label):
+        """schedule: list of scan indices; returns per-scan intervals and
+        prints the per-scan stage split."""
+        prep_pool = ThreadPoolExecutor(2)
+        finish_pool = ThreadPoolExecutor(1)
+        depth = 2
+        n = len(schedule)
+        queue = [prep_pool.submit(prep_and_upload, *scans[schedule[k]])
+                 for k in range(min(depth, n))]
+        queue[0].result()
+        t0 = time.time()
+        pending = None
+        done = 0
+        marks = []
+        stages = []  # (geom, prep, h2d, dispatch)
+        waits = []   # futures -> (ok, devwait, d2h)
+        for k in range(n):
+            prep = queue.pop(0).result()
+            if k + depth < n:
+                queue.append(prep_pool.submit(
+                    prep_and_upload, *scans[schedule[k + depth]]))
+            td = time.perf_counter()
+            out = run_device(prep, False)
+            td = time.perf_counter() - td
+            stages.append((scans[schedule[k]][0].shape,
+                           prep["_t_prep"], prep["_t_h2d"], td))
+            if pending is not None:
+                ok, tw, t2h = pending.result()
+                done += ok
+                waits.append((tw, t2h))
+            pending = finish_pool.submit(finish, out)
+            marks.append(time.time())
+        ok, tw, t2h = pending.result()
+        done += ok
+        waits.append((tw, t2h))
+        marks[-1] = time.time()
+        dt = time.time() - t0
+        per_scan = np.diff([t0] + marks)
+        for k in range(n):
+            g, tp, th, td = stages[k]
+            tw, t2h = waits[k]
+            _err(f"#   scan {k:2d} geom={g} interval={per_scan[k]:5.2f}s "
+                 f"prep={tp * 1e3:6.0f}ms h2d={th * 1e3:6.0f}ms "
+                 f"dispatch={td * 1e3:5.0f}ms devwait={tw * 1e3:6.0f}ms "
+                 f"d2h={t2h * 1e3:6.0f}ms")
+        med = float(np.median(per_scan))
+        _err(f"# {label}: {n} scans in {dt:.2f}s; stage medians "
+             f"prep={np.median([s[1] for s in stages]) * 1e3:.0f}ms "
+             f"h2d={np.median([s[2] for s in stages]) * 1e3:.0f}ms "
+             f"dispatch={np.median([s[3] for s in stages]) * 1e3:.0f}ms "
+             f"devwait={np.median([w[0] for w in waits]) * 1e3:.0f}ms "
+             f"d2h={np.median([w[1] for w in waits]) * 1e3:.0f}ms; "
+             f"per-scan median {med:.3f} (mean {dt / n:.3f}) s/scan")
+        prep_pool.shutdown(wait=False)
+        finish_pool.shutdown(wait=False)
+        return per_scan, dt
+
+    schedule = [k % len(scans) for k in range(n_scans)]
+    per_scan, dt = timed_loop(schedule, "steady-state (geometries cycled)")
     sec = float(np.median(per_scan))
     n_variants = (len(pipe._stage1) + len(pipe._stage2) + len(pipe._stage3))
     if mixed:
         # mixed mode charges compile/load stalls to the clock: the MEAN is
         # the honest number, the median shows the warm steady state
         sec = dt / n_scans
-        print(f"# MIXED-GEOMETRY mode: {len(geoms)} distinct shapes/"
-              f"spacings, compile stalls INCLUDED in the clock",
-              file=sys.stderr)
-    else:
-        print(f"# steady-state, prep pipeline pre-filled (depth {depth}); "
-              f"{len(scans)} cached synthetic geometries cycled",
-              file=sys.stderr)
-    print(f"# {n_scans} scans in {dt:.2f}s; per-scan "
-          f"{[round(float(s), 2) for s in per_scan]} -> median "
-          f"{float(np.median(per_scan)):.3f} (mean {dt / n_scans:.3f}) "
-          f"s/scan; {n_variants} compiled pipeline-stage variants",
-          file=sys.stderr)
+        _err(f"# MIXED-GEOMETRY mode: {len(geoms)} distinct shapes/"
+             f"spacings, compile stalls INCLUDED in the clock")
+    _err(f"# {n_scans} scans; per-scan "
+         f"{[round(float(s), 2) for s in per_scan]} -> median "
+         f"{float(np.median(per_scan)):.3f} (mean {dt / n_scans:.3f}) "
+         f"s/scan; {n_variants} compiled pipeline-stage variants")
 
     vpm = 60.0 / sec
     target_vpm = 60.0 / 5.0
+    # the ONLY stdout line — printed before the optional diagnostics
+    # phases below so a failure there can never lose the headline
     print(json.dumps({
         "metric": "ct_volumes_per_min_per_chip"
                   + ("_mixed_geometry" if mixed else ""),
         "value": round(vpm, 3),
         "unit": "volumes/min",
         "vs_baseline": round(vpm / target_vpm, 3),
-    }))
+    }), flush=True)
+
+    # fixed-geometry control: same machinery, geometry 0 only — if this
+    # matches the mixed-geometry medians, the residual spread is
+    # tunnel-bound, not geometry/program-swap-bound
+    if n_control > 0 and not mixed:
+        try:
+            ctrl, _ = timed_loop([0] * n_control,
+                                 f"CONTROL (geometry {geoms[0][0]} only)")
+            _err(f"# control median {float(np.median(ctrl)):.3f} s/scan vs "
+                 f"headline {sec:.3f} s/scan")
+        except Exception as e:
+            _err(f"# control loop failed: {e!r}")
+
+    if os.environ.get("BENCH_PARITY", "1") == "1" and wire == "wc" \
+            and not mixed:
+        try:
+            wire_parity_check(pipe, *scans[0], span, out0)
+        except Exception as e:
+            _err(f"# wire-parity check failed: {e!r}")
+
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            # free the inference buffers first: the bs10 train step needs
+            # the HBM (executables stay resident; that is fine)
+            del out0, prep0
+            pipe.params = pipe.batch_stats = None
+            pipe._dev_params.clear()
+            scans.clear()
+            import gc
+            gc.collect()
+            rec = train_microbench()
+            _err(json.dumps(rec))
+        except Exception as e:
+            _err(f"# train microbench failed: {e!r}")
 
 
 if __name__ == "__main__":

@@ -738,6 +738,51 @@ class FastScanPipeline:
         self._stage2[key] = stage2post
         return stage2post
 
+    def _get_stage2val(self, bucket):
+        """Validation epilogue (reference job_runner.py:766-775 semantics,
+        on device): sigmoid probs of the refined head resized back to the
+        lobe crop, masked per lobe, summed — the caller divides to get the
+        scan-level predicted lesion ratio. Keyed on the bucket only, so it
+        adds one tiny XLA compile next to the shared heavy stage2model."""
+        key = ("wcv", bucket)
+        if key in self._stage2:
+            return self._stage2[key]
+
+        @jax.jit
+        def stage2val(out, lmask, lo0, lo1, lo2, hi0, hi1, hi2,
+                      fr0, fr1, fr2, present):
+            probs = jax.nn.sigmoid(out.astype(jnp.float32))
+            bw = ([lo0, lo1, lo2], [hi0, hi1, hi2], [fr0, fr1, fr2])
+            pb = gather_resize(probs, bw)
+            m = lmask.astype(jnp.float32) * present[:, None, None, None]
+            return jnp.sum(pb * m), jnp.sum(m)
+
+        self._stage2[key] = stage2val
+        return stage2val
+
+    def process_chunks_val(self, prepc):
+        """Training-validation forward on the chunk wire: one batched
+        5-lobe pass through the SAME compiled stage2pre/stage2model
+        programs inference uses (no B=1 eval program exists any more),
+        plus the tiny bucket-keyed val epilogue. Returns the scan-level
+        predicted lesion ratio (mean refined-head prob within the lung),
+        matching the reference's full-scan stitch-then-mean
+        (job_runner.py:720-779) on the iso grid."""
+        bucket = prepc["bucket"]
+        if "_dev_m" not in prepc:
+            self.upload_chunks_prep(prepc)
+        params, batch_stats = self._params_on(prepc.get("_device"))
+        x80, l80f, lmask = self._get_stage2pre(bucket)(*prepc["_dev_m"])
+        out, _ = self._get_stage2model()(params, batch_stats, x80, l80f)
+        bw = prepc["bw"]
+        args = [jnp.asarray(bw[0][ax]) for ax in range(3)] + \
+               [jnp.asarray(bw[1][ax]) for ax in range(3)] + \
+               [jnp.asarray(bw[2][ax]) for ax in range(3)]
+        s, v = self._get_stage2val(bucket)(
+            out, lmask, *args,
+            jnp.asarray(prepc["present"], jnp.float32))
+        return float(s) / max(float(v), 1.0)
+
     def upload_chunks_prep(self, prepc, device=None):
         """Pack every wire and table of a chunk prep into the coalesced
         model-side and stitch-side blobs (_wire_layout_m/_s) and

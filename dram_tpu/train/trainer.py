@@ -911,7 +911,53 @@ class LesionSegChunkTrain(JobRunner):
             self._eval_fwd = fwd
         return self._eval_fwd
 
+    def _val_pipeline(self):
+        """FastScanPipeline sharing the inference engine's compiled
+        stage2pre/stage2model programs for validation, with the trainer's
+        live params swapped in per call (SURVEY L2: 'full-scan val via
+        the same inference engine as test')."""
+        if not hasattr(self, "_val_pipe"):
+            from ..infer.fast import FastScanPipeline
+            s = self.settings
+            self._val_pipe = FastScanPipeline(
+                self.model_eval, self.params, self.batch_stats,
+                chunk_size=tuple(s.RESAMPLE_SIZE),
+                windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX),
+                pad_value=float(s.PAD_VALUE))
+        self._val_pipe.params = self.params
+        self._val_pipe.batch_stats = self.batch_stats
+        self._val_pipe._dev_params.clear()
+        return self._val_pipe
+
     def evaluate_scan(self, scan_data):
+        """Full-scan ordinal validation (reference job_runner.py:720-779):
+        by default one batched 5-lobe pass through the shared inference
+        pipeline (chunk wire); the reference-shaped host-stitch loop
+        remains behind VAL_USE_FAST_PIPELINE=False and for TRACE runs
+        (whose per-lobe overlay dumps live on that path)."""
+        if self.trace or not getattr(self.settings,
+                                     "VAL_USE_FAST_PIPELINE", True):
+            return self._evaluate_scan_hoststitch(scan_data)
+        from ..infer.fast import prep_scan_chunks
+        s = self.settings
+        meta = scan_data["meta"]
+        now = time.time()
+        pipe = self._val_pipeline()
+        prep = prep_scan_chunks(
+            np.asarray(scan_data["#image"], np.int16),
+            np.asarray(scan_data["#lobe_reference"], np.uint8),
+            meta["spacing"], pad_value=s.PAD_VALUE,
+            windowing_span=(s.WINDOWING_MIN, s.WINDOWING_MAX),
+            chunk_size=tuple(s.RESAMPLE_SIZE), crop_border_mm=5.0)
+        pred_ratio = pipe.process_chunks_val(prep)
+        reg_cls_pred = ratio_to_label([pred_ratio])[0]
+        target = int(float(meta["cle"])) if "cle" in meta else \
+            int(float(meta["patient_meta"]["cle"]))
+        self.logger.info(f"val scan {meta['uid']}: reg_cls_pred "
+                         f"{reg_cls_pred}, target {target}")
+        return reg_cls_pred, target, time.time() - now
+
+    def _evaluate_scan_hoststitch(self, scan_data):
         s = self.settings
         scan = scan_data["#image"]
         lobe = scan_data["#lobe_reference"]

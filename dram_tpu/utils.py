@@ -14,6 +14,7 @@ import csv
 import importlib
 import importlib.util
 import os
+import sys
 import time
 
 
@@ -150,9 +151,108 @@ def enable_compilation_cache(path=None, min_compile_secs=0.0, seed=True):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         return None
+    stabilize_mosaic_cache_keys()
     if seed and os.environ.get("DRAM_TPU_NO_SEED_CACHE", "0") != "1":
         seed_compilation_cache(os.path.join(root, "warm_cache"), path)
     return path
+
+
+_MOSAIC_KEYS_STABILIZED = [False]
+
+
+def stabilize_mosaic_cache_keys():
+    """Make XLA persistent-cache keys of Pallas TPU programs survive
+    kernel source motion.
+
+    jax's cache key already canonicalizes the StableHLO module with an
+    MLIR strip-debuginfo pass (jax/_src/cache_key.py), but a Pallas TPU
+    kernel arrives as a tpu_custom_call whose backend_config holds the
+    *already-serialized* Mosaic module — with `loc(...)` entries baked
+    into the bytecode, out of reach of that pass. Editing even a comment
+    above a kernel therefore used to re-key every program containing one
+    (the round-3 cold-start post-mortem: a stale warm_cache/ seed cost
+    436 s). This wraps jax's Mosaic module serialization to run
+    strip-debuginfo on a clone first, so the payload — and with it the
+    cache key — depends only on the kernel's semantics.
+
+    Idempotent; degrades to a no-op (stock behavior) if jax internals
+    move. Opt out with DRAM_TPU_KEEP_MOSAIC_LOCS=1 (restores source
+    locations in Mosaic diagnostics at the price of fragile keys).
+    """
+    if _MOSAIC_KEYS_STABILIZED[0]:
+        return True
+    if os.environ.get("DRAM_TPU_KEEP_MOSAIC_LOCS", "0") == "1":
+        return False
+    try:
+        import io
+
+        from jax._src import tpu_custom_call as _tcc
+        from jaxlib.mlir import ir as _ir
+        from jaxlib.mlir.passmanager import PassManager as _PM
+
+        orig = _tcc._lower_mosaic_module_to_asm
+
+        def _strip_then_lower(module, *, ir_version=None):
+            try:
+                with module.context:
+                    op = module.operation.clone()
+                    _PM.parse("builtin.module(strip-debuginfo)").run(op)
+                    buf = io.BytesIO()
+                    op.write_bytecode(buf)
+                    module = _ir.Module.parse(buf.getvalue())
+            except Exception:
+                pass  # fall through with the original (located) module
+            return orig(module, ir_version=ir_version)
+
+        _tcc._lower_mosaic_module_to_asm = _strip_then_lower
+        _MOSAIC_KEYS_STABILIZED[0] = True
+        return True
+    except Exception:
+        return False
+
+
+def log_cache_events(sink=None):
+    """Surface persistent-cache HIT/MISS per jitted module, loudly.
+
+    A stale warm_cache/ seed is invisible without this: setup just takes
+    minutes longer. Installs a handler on jax's compiler logger that
+    forwards the two cache-outcome records to `sink` (default: stderr)
+    as one-liners:  `# xla-cache HIT jit_stage2model`. Returns a
+    zero-arg uninstaller."""
+    import logging
+
+    if sink is None:
+        def sink(s):
+            print(s, file=sys.stderr)
+
+    logger = logging.getLogger("jax._src.compiler")
+
+    class _CacheEventHandler(logging.Handler):
+        def emit(self, record):
+            try:
+                msg = record.getMessage()
+            except Exception:
+                return
+            if "Persistent compilation cache hit" in msg:
+                sink(f"# xla-cache HIT  {record.args[0]}")
+            elif "PERSISTENT COMPILATION CACHE MISS" in msg:
+                sink(f"# xla-cache MISS {record.args[0]}")
+
+    handler = _CacheEventHandler(level=logging.DEBUG)
+    prev_level, prev_prop = logger.level, logger.propagate
+    logger.addHandler(handler)
+    if logger.getEffectiveLevel() > logging.DEBUG:
+        logger.setLevel(logging.DEBUG)
+    # don't spray the compiler's other DEBUG records over stderr while
+    # the level is lowered
+    logger.propagate = False
+
+    def uninstall():
+        logger.removeHandler(handler)
+        logger.setLevel(prev_level)
+        logger.propagate = prev_prop
+
+    return uninstall
 
 
 def seed_compilation_cache(seed_dir, cache_dir):
