@@ -330,6 +330,7 @@ def main():
     # finishes on its own thread
     def finish(out):
         from dram_tpu.core.ops import unpackbits_np
+        from dram_tpu.infer.fast import expand_packed_mask
         # the tiny meta fetch blocks until the device chain is done (its
         # wall is device-bound time); the packed-mask fetch after it is
         # the real D2H
@@ -344,22 +345,33 @@ def main():
         else:
             packed = np.asarray(out["pred_packed"])
         t2 = time.perf_counter()
-        pred = np.zeros(out["out_shape"], np.uint8)
-        pred[sl] = unpackbits_np(packed, oshape)
+        if out.get("masks_on_iso"):  # iso-grid wire: host back-gather
+            pred = expand_packed_mask(packed, out["iso_shape"],
+                                      out["out_shape"], lo, oshape,
+                                      out["back_tables"])
+        else:
+            pred = np.zeros(out["out_shape"], np.uint8)
+            pred[sl] = unpackbits_np(packed, oshape)
         return int(pred[0, 0, 0] >= 0), t1 - t0, t2 - t1
 
     def timed_loop(schedule, label):
         """schedule: list of scan indices; returns per-scan intervals and
         prints the per-scan stage split."""
         prep_pool = ThreadPoolExecutor(2)
-        finish_pool = ThreadPoolExecutor(1)
+        # two finish stages in flight: the D2H fetch of scan k overlaps
+        # the host unpack of scan k-1 (and the device compute of k+1),
+        # instead of the dispatch loop serializing on one finish at a
+        # time — the r03/r04 telemetry showed devwait ~30 ms but the
+        # depth-1 finish (D2H + unpack) bounding the steady state
+        finish_pool = ThreadPoolExecutor(2)
         depth = 2
+        fdepth = 2
         n = len(schedule)
         queue = [prep_pool.submit(prep_and_upload, *scans[schedule[k]])
                  for k in range(min(depth, n))]
         queue[0].result()
         t0 = time.time()
-        pending = None
+        pending = []
         done = 0
         marks = []
         stages = []  # (geom, prep, h2d, dispatch)
@@ -374,15 +386,16 @@ def main():
             td = time.perf_counter() - td
             stages.append((scans[schedule[k]][0].shape,
                            prep["_t_prep"], prep["_t_h2d"], td))
-            if pending is not None:
-                ok, tw, t2h = pending.result()
+            pending.append(finish_pool.submit(finish, out))
+            if len(pending) > fdepth:
+                ok, tw, t2h = pending.pop(0).result()
                 done += ok
                 waits.append((tw, t2h))
-            pending = finish_pool.submit(finish, out)
             marks.append(time.time())
-        ok, tw, t2h = pending.result()
-        done += ok
-        waits.append((tw, t2h))
+        for f in pending:
+            ok, tw, t2h = f.result()
+            done += ok
+            waits.append((tw, t2h))
         marks[-1] = time.time()
         dt = time.time() - t0
         per_scan = np.diff([t0] + marks)

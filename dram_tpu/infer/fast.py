@@ -724,9 +724,17 @@ class FastScanPipeline:
 
             # one stacked D2H payload: [pred_bits, post_bits] u8 rows plus
             # a tiny f32 meta vector [ratios..., threshold] — 2 fetch RPCs
-            # per scan instead of 4
-            masks = jnp.stack([packbits_u8(back(pred)),
-                               packbits_u8(back(post))])
+            # per scan instead of 4. Without a heatmap the masks ship on
+            # the COARSE iso grid (the host does the nearest back-gather
+            # with the same tables — bit-identical, see
+            # expand_packed_mask): ~(sz*sy*sx)x fewer D2H bytes, and the
+            # out-grid-sized device gather+pack disappears from the scan's
+            # device tail.
+            if want_heatmap:
+                masks = jnp.stack([packbits_u8(back(pred)),
+                                   packbits_u8(back(post))])
+            else:
+                masks = jnp.stack([packbits_u8(pred), packbits_u8(post)])
             meta = jnp.concatenate([ratio.astype(jnp.float32),
                                     th.astype(jnp.float32)[None]])
             outs = (masks, meta)
@@ -797,6 +805,7 @@ class FastScanPipeline:
             np.asarray(prepc["spacing"]) / prepc["iso_spacing"],
             np.asarray(prepc["crop_lo"]), prepc["iso_shape"])
         prepc["_back"] = (o_lo, o_shape)
+        prepc["_back_tables"] = tables  # host copy for expand_packed_mask
         m_u8, m_i32, m_f32 = _wire_layout_m(
             self.n_lobes, self.chunk_size, prepc["bucket"])
         s_u8, s_i32, s_f32 = _wire_layout_s(
@@ -851,6 +860,7 @@ class FastScanPipeline:
                                           want_heatmap)
         res = stage2post(out_l, ratio, lmask, *prepc["_dev_s"])
         masks, meta = res[0], res[1]
+        on_iso = not want_heatmap  # stage2post ships iso-grid masks then
         if unpack:
             masks_np = np.asarray(masks)
             meta_np = np.asarray(meta)
@@ -866,7 +876,9 @@ class FastScanPipeline:
                "threshold": th, "ratios": ratio,
                "present": prepc["present"],
                "out_shape": tuple(prepc["out_shape"]),
-               "out_window": (tuple(o_lo), o_shape)}
+               "out_window": (tuple(o_lo), o_shape),
+               "masks_on_iso": on_iso, "iso_shape": tuple(iso_shape),
+               "back_tables": prepc["_back_tables"]}
         sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
         if want_heatmap:
             heat = np.zeros(out["out_shape"], np.uint8)
@@ -874,10 +886,35 @@ class FastScanPipeline:
             out["heatmap_u8"] = heat
         if unpack:
             for name, packed in (("pred", pred_p), ("post", post_p)):
-                full = np.zeros(out["out_shape"], np.uint8)
-                full[sl] = unpackbits_np(packed, o_shape)
-                out[name] = full
+                if on_iso:
+                    out[name] = expand_packed_mask(
+                        packed, iso_shape, out["out_shape"], o_lo, o_shape,
+                        prepc["_back_tables"])
+                else:
+                    full = np.zeros(out["out_shape"], np.uint8)
+                    full[sl] = unpackbits_np(packed, o_shape)
+                    out[name] = full
         return out
+
+
+def expand_packed_mask(packed, iso_shape, out_shape, o_lo, o_shape,
+                       tables):
+    """Host nearest back-resample of an iso-crop packed mask into a full-
+    resolution u8 volume — the exact twin of stage2post's device `back()`
+    (same index tables; nearest gather of bits commutes with packing, so
+    the result is bit-identical to the device-side gather-then-pack).
+    C++ fast path (native.unpack_nearest_gather); NumPy fallback."""
+    full = np.zeros(tuple(out_shape), np.uint8)
+    packed = np.asarray(packed)
+    try:
+        from ..native import hostprep_native
+        hostprep_native.unpack_nearest_gather(
+            packed, iso_shape, full, o_lo, o_shape, tables)
+    except Exception:
+        bits = unpackbits_np(packed, iso_shape)
+        sl = tuple(slice(l, l + s) for l, s in zip(o_lo, o_shape))
+        full[sl] = bits[np.ix_(*tables)]
+    return full
 
 
 def _host_gather_resize(x, los, his, fracs):

@@ -112,6 +112,12 @@ def _lib():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.unpack_nearest_gather_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -336,3 +342,22 @@ class hostprep_native:
         out = np.empty(p.shape[0] * 8, np.uint8)
         _lib().unpackbits_u8(p.ctypes.data, p.shape[0], out.ctypes.data)
         return out[: int(np.prod(shape))].reshape(shape)
+
+    @staticmethod
+    def unpack_nearest_gather(packed, iso_shape, out_full, window_lo,
+                              window_shape, tables):
+        """Unpack an iso-crop bit mask and nearest-gather it into
+        out_full[window] via per-axis index tables (the host twin of the
+        device back-gather; bit-identical). out_full is written in place
+        (only the window region is touched)."""
+        p = np.ascontiguousarray(packed, np.uint8).reshape(-1)
+        assert out_full.dtype == np.uint8 and out_full.flags.c_contiguous
+        iz, iy, ix = [np.ascontiguousarray(t, np.int32) for t in tables]
+        _lib().unpack_nearest_gather_u8(
+            p.ctypes.data, *[int(s) for s in iso_shape],
+            out_full.ctypes.data, int(out_full.shape[1]),
+            int(out_full.shape[2]),
+            *[int(v) for v in window_lo],
+            *[int(s) for s in window_shape],
+            iz.ctypes.data, iy.ctypes.data, ix.ctypes.data)
+        return out_full

@@ -1197,4 +1197,46 @@ void unpackbits_u8(const uint8_t* in, int64_t n_bytes, uint8_t* out) {
     }
 }
 
+// Nearest back-resample of a bit-packed iso-crop mask into a window of a
+// full-resolution u8 volume — the host twin of the device back-gather
+// (infer/fast.py stage2post `back()`), bit-identical by construction:
+//   out[oz+z2, oy+y2, ox+x2] = bit[iz[z2], iy[y2], ix[x2]]
+// `bits` holds D1*H1*W1 MSB-first packed bits in C order (source rows are
+// NOT byte-aligned). Letting the device emit masks on the coarse iso grid
+// and gathering here cuts the packed-mask D2H ~(spacing_z*y*x)x; output
+// rows repeating a source row are memcpy'd (the out grid is finer than
+// iso on every axis, so repeats are common).
+void unpack_nearest_gather_u8(
+        const uint8_t* bits, int D1, int H1, int W1,
+        uint8_t* out, int Hf, int Wf,
+        int oz, int oy, int ox,
+        int D2, int H2, int W2,
+        const int32_t* iz, const int32_t* iy, const int32_t* ix) {
+#pragma omp parallel for schedule(static)
+    for (int z2 = 0; z2 < D2; ++z2) {
+        const int z1 = iz[z2];
+        std::vector<uint8_t> row((size_t)W1);
+        int prev_y1 = -1;
+        for (int y2 = 0; y2 < H2; ++y2) {
+            const int y1 = iy[y2];
+            uint8_t* dst = out + ((int64_t)(oz + z2) * Hf + (oy + y2)) * Wf
+                           + ox;
+            if (y1 == prev_y1 && y2 > 0) {
+                const uint8_t* prev =
+                    out + ((int64_t)(oz + z2) * Hf + (oy + y2 - 1)) * Wf + ox;
+                std::memcpy(dst, prev, (size_t)W2);
+                continue;
+            }
+            prev_y1 = y1;
+            const int64_t off = ((int64_t)z1 * H1 + y1) * (int64_t)W1;
+            for (int x1 = 0; x1 < W1; ++x1) {
+                const int64_t b = off + x1;
+                row[(size_t)x1] =
+                    (uint8_t)((bits[b >> 3] >> (7 - (b & 7))) & 1);
+            }
+            for (int x2 = 0; x2 < W2; ++x2) dst[x2] = row[(size_t)ix[x2]];
+        }
+    }
+}
+
 }  // extern "C"
