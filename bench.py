@@ -200,13 +200,22 @@ def train_microbench(steps=8, batch=10):
         params, batch_stats, opt_state, key)
     float(loss)  # real D2H: block_until_ready can return early here
     _err(f"# train: compile+first step {time.time() - t0:.1f}s")
+    # trainer-cadence timing (trainer.py train loop defers the loss sync
+    # by one step, so the device never idles on the per-step D2H round
+    # trip); the final float() closes the dependency chain
     times = []
+    pending = None
+    t0 = time.perf_counter()
     for i in range(steps):
-        t0 = time.perf_counter()
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(i))
-        float(loss)
-        times.append(time.perf_counter() - t0)
+        if pending is not None:
+            float(pending)
+            times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        pending = loss
+    float(pending)
+    times.append(time.perf_counter() - t0)
     ms = float(np.median(times)) * 1e3
     _err(f"# train: per-step {[round(t * 1e3) for t in times]} ms "
          f"-> median {ms:.1f} ms/step")

@@ -329,12 +329,16 @@ class LesionSegTest:
             return 1
         return n
 
-    def _run_one(self, scan_idx, uid, device=None):
+    def _run_one(self, scan_idx, uid, device=None, scan_data=None):
         """One scan: load -> infer (optionally committed to `device`) ->
         score -> archive. Returns (records row, cls_preds, cls_targets).
         Thread-safe: touches no shared mutable state (the stage caches are
-        guarded by the GIL and per-uid output paths never collide)."""
-        scan_data = self.test_set[scan_idx]
+        guarded by the GIL and per-uid output paths never collide).
+        `scan_data` may be supplied by a prefetch thread (the serial run
+        loop overlaps the next scan's file read/decode with this scan's
+        device + archive work)."""
+        if scan_data is None:
+            scan_data = self.test_set[scan_idx]
         meta = scan_data["meta"]
         if self.use_fast_path:
             out = self.process_scan_fast(scan_data, device=device)
@@ -417,9 +421,10 @@ class LesionSegTest:
         scan_timer = AverageMeter()
         all_cls_preds, all_cls_targets = [], []
 
-        def handle(scan_idx, uid, device=None):
+        def handle(scan_idx, uid, device=None, scan_data=None):
             start = time.time()
-            row, preds, targets = self._run_one(scan_idx, uid, device)
+            row, preds, targets = self._run_one(scan_idx, uid, device,
+                                                scan_data=scan_data)
             return row, preds, targets, time.time() - start
 
         n_shard = self._shard_count()
@@ -454,10 +459,27 @@ class LesionSegTest:
                     ignore_index=True)
             self.scan_records.to_csv(rec_file, index=False)
         else:
+            # one-deep prefetch: the next scan's file read + MHA decode
+            # (the biggest host cost on the 1-core deploy node) overlaps
+            # the current scan's device + archive work; a prefetch
+            # failure falls back to the in-loop load so per-scan error
+            # isolation is unchanged
+            from concurrent.futures import ThreadPoolExecutor
+            prefetch_pool = ThreadPoolExecutor(1)
+            nxt = prefetch_pool.submit(self.test_set.__getitem__, 0) \
+                if len(self.test_set) else None
             for scan_idx in range(len(self.test_set)):
                 uid = self.test_set.uids[scan_idx]
                 try:
-                    row, preds, targets, dt = handle(scan_idx, uid)
+                    scan_data = nxt.result()
+                except Exception:
+                    scan_data = None  # reload (and re-raise) inside handle
+                if scan_idx + 1 < len(self.test_set):
+                    nxt = prefetch_pool.submit(
+                        self.test_set.__getitem__, scan_idx + 1)
+                try:
+                    row, preds, targets, dt = handle(scan_idx, uid,
+                                                     scan_data=scan_data)
                     all_cls_preds.extend(preds)
                     all_cls_targets.extend(targets)
                     scan_timer.update(dt)
@@ -472,6 +494,7 @@ class LesionSegTest:
                 except Exception:
                     self.logger.error(f"Cannot process scan {scan_idx} "
                                       f"({uid}): {traceback.format_exc()}")
+            prefetch_pool.shutdown(wait=False)
 
         if all_cls_targets:
             import pandas as pd

@@ -130,18 +130,31 @@ def main():
                 jax.block_until_ready(loss)
         print(f"profile written to {args.profile}")
 
+    # trainer-cadence timing (trainer.py train loop): the loss sync is
+    # deferred one step — step k+1 is dispatched BEFORE step k's loss is
+    # fetched, so the device never idles on the per-step D2H round trip
+    # (through the tunnel that stall measured ~35-40 ms/step). The final
+    # float() closes the dependency chain, so wall/steps is the honest
+    # steady-state step time.
     times = []
+    pending = None
+    t0 = time.perf_counter()
     for i in range(args.steps):
-        t0 = time.perf_counter()
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(i))
-        float(loss)  # force D2H; dependency chain makes this the step time
-        times.append(time.perf_counter() - t0)
+        if pending is not None:
+            float(pending)
+            times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        pending = loss
+    float(pending)
+    times.append(time.perf_counter() - t0)
     ms = np.median(times) * 1e3
     print(f"model={args.model} pallas_conv={args.pallas_conv} "
           f"pallas_att={args.pallas_att} batch={B}: "
           f"{ms:.1f} ms/step median ({B / ms * 1e3:.1f} chunks/s), "
-          f"min {min(times)*1e3:.1f} max {max(times)*1e3:.1f}")
+          f"min {min(times)*1e3:.1f} max {max(times)*1e3:.1f} "
+          f"(deferred-sync, trainer cadence)")
 
 
 if __name__ == "__main__":
