@@ -228,7 +228,8 @@ def main():
     from dram_tpu.utils import enable_compilation_cache, log_cache_events
 
     enable_compilation_cache()
-    log_cache_events()  # "# xla-cache HIT/MISS <module>" on stderr
+    cache_counts = {}
+    log_cache_events(counts=cache_counts)  # "# xla-cache HIT/MISS ..."
     try:  # label the per-executable deserialize/load cost (tunnel-bound)
         from jax._src import monitoring
 
@@ -331,7 +332,9 @@ def main():
             np.asarray(outk.get("masks_packed", outk["pred_packed"]))
             mark(f"warmup scan {k} (geometry {geoms[k][0]})")
     _err(f"# setup+compile {time.time() - t_setup:.1f}s; "
-         f"pred voxels {int(out0['pred'].sum())}")
+         f"pred voxels {int(out0['pred'].sum())}; xla-cache "
+         f"{cache_counts.get('hit', 0)} hit / "
+         f"{cache_counts.get('miss', 0)} miss")
 
     # throughput, 3-stage software pipeline: prep workers resample+pack
     # and start the async H2D for upcoming scans while the device runs
@@ -349,8 +352,14 @@ def main():
         t1 = time.perf_counter()
         lo, oshape = out["out_window"]
         sl = tuple(slice(l, l + s) for l, s in zip(lo, oshape))
-        if "masks_packed" in out:  # wc wire: pred+post in ONE D2H fetch
-            packed = np.asarray(out["masks_packed"])[0]
+        if "masks_packed" in out:  # wc wire: ONE D2H fetch
+            packed = np.asarray(out["masks_packed"])
+            if packed.ndim == 2:  # out-grid wire ships [pred, post] rows
+                packed = packed[0]
+            elif out.get("cand_bits") is not None:
+                # iso wire ships pred alone; post = packed AND (host,
+                # bit-identical to the device rule — same grid and order)
+                _post = np.bitwise_and(packed, out["cand_bits"])
         else:
             packed = np.asarray(out["pred_packed"])
         t2 = time.perf_counter()

@@ -167,11 +167,14 @@ def _wire_layout_m(n_lobes, chunk, bucket):
 
 def _wire_layout_s(n_lobes, bucket, iso_shape, o_shape):
     """Stitch-side chunk-wire blobs (consumed by the geometry-keyed post
-    stage): the 1-bit post-rule candidate, stitch coordinates, the
-    chunk->bucket backward-resize tables and the iso->output nearest
-    gather tables. See _wire_layout_m."""
+    stage): stitch coordinates, the chunk->bucket backward-resize tables
+    and the iso->output nearest gather tables. The 1-bit post-rule
+    candidate stays HOST-side in the hot path: post = pred AND cand
+    commutes with the MSB-first bit packing, so the host ANDs the packed
+    rows after the pred D2H — the candidate (the largest wire item, the
+    full iso grid) rides neither H2D nor D2H; only the heatmap/archive
+    path device_puts it separately. See _wire_layout_m."""
     n = n_lobes
-    u8 = [("cand_bits", (-(-int(np.prod(iso_shape)) // 8),))]
     i32 = [("starts", (n, 3)), ("box_lo", (n, 3)), ("box_sz", (n, 3)),
            ("gz", (o_shape[0],)), ("gy", (o_shape[1],)),
            ("gx", (o_shape[2],))]
@@ -180,7 +183,7 @@ def _wire_layout_s(n_lobes, bucket, iso_shape, o_shape):
         i32.append((f"bw_lo{ax}", (n, bucket[ax])))
         i32.append((f"bw_hi{ax}", (n, bucket[ax])))
         f32.append((f"bw_fr{ax}", (n, bucket[ax])))
-    return _layout_seq(u8), _layout_seq(i32), _layout_seq(f32)
+    return _layout_seq(i32), _layout_seq(f32)
 
 
 def _pack_blob(layout, arrays, dtype):
@@ -668,11 +671,11 @@ class FastScanPipeline:
         if key in self._stage2:
             return self._stage2[key]
         n_lobes = self.n_lobes
-        lay_u8, lay_i32, lay_f32 = _wire_layout_s(n_lobes, bucket,
-                                                  iso_shape, o_shape)
+        lay_i32, lay_f32 = _wire_layout_s(n_lobes, bucket,
+                                          iso_shape, o_shape)
 
         @jax.jit
-        def stage2post(out, ratio, lmask, u8b, i32b, f32b):
+        def stage2post(out, ratio, lmask, i32b, f32b, *cand_packed):
             def gi(name):
                 return _blob_get(i32b, lay_i32, name)
 
@@ -710,31 +713,31 @@ class FastScanPipeline:
 
             th = binary_cam_threshold(htp, mask=lung)
             pred = (htp > th)
-            # intensity + vessel post rule precomputed on host (exact: the
-            # w8 wire already quantizes the windowed scan to the u8 levels
-            # the Otsu bins over; vessel is folded in)
-            cand = unpackbits_u8_dev(_blob_get(u8b, lay_u8, "cand_bits"),
-                                     iso_shape)
-            post = pred & cand
 
             def back(x):
                 x = jnp.take(x, gz, axis=0)
                 x = jnp.take(x, gy, axis=1)
                 return jnp.take(x, gx, axis=2)
 
-            # one stacked D2H payload: [pred_bits, post_bits] u8 rows plus
-            # a tiny f32 meta vector [ratios..., threshold] — 2 fetch RPCs
-            # per scan instead of 4. Without a heatmap the masks ship on
-            # the COARSE iso grid (the host does the nearest back-gather
-            # with the same tables — bit-identical, see
-            # expand_packed_mask): ~(sz*sy*sx)x fewer D2H bytes, and the
-            # out-grid-sized device gather+pack disappears from the scan's
-            # device tail.
+            # D2H payload: pred bits plus a tiny f32 meta vector
+            # [ratios..., threshold] — 2 fetch RPCs per scan. Without a
+            # heatmap the mask ships ALONE on the COARSE iso grid (the
+            # host does the nearest back-gather with the same tables —
+            # bit-identical, see expand_packed_mask — and derives post =
+            # pred & cand by ANDing PACKED rows with the candidate it
+            # computed at prep): ~2x fewer D2H bytes again on top of the
+            # iso-grid saving, and the candidate never rides H2D. The
+            # heatmap/archive path keeps the device post rule (the
+            # intensity+vessel candidate is exact either way: the w8
+            # wire already quantizes the windowed scan to the u8 levels
+            # the Otsu bins over; vessel is folded in).
             if want_heatmap:
+                cand = unpackbits_u8_dev(cand_packed[0], iso_shape)
+                post = pred & cand
                 masks = jnp.stack([packbits_u8(back(pred)),
                                    packbits_u8(back(post))])
             else:
-                masks = jnp.stack([packbits_u8(pred), packbits_u8(post)])
+                masks = packbits_u8(pred)
             meta = jnp.concatenate([ratio.astype(jnp.float32),
                                     th.astype(jnp.float32)[None]])
             outs = (masks, meta)
@@ -808,7 +811,7 @@ class FastScanPipeline:
         prepc["_back_tables"] = tables  # host copy for expand_packed_mask
         m_u8, m_i32, m_f32 = _wire_layout_m(
             self.n_lobes, self.chunk_size, prepc["bucket"])
-        s_u8, s_i32, s_f32 = _wire_layout_s(
+        s_i32, s_f32 = _wire_layout_s(
             self.n_lobes, prepc["bucket"], prepc["iso_shape"], o_shape)
         fw, bw = prepc["fw"], prepc["bw"]
         mi32, mf32 = {}, {}
@@ -832,8 +835,6 @@ class FastScanPipeline:
             put(_pack_blob(m_i32, mi32, np.int32)),
             put(_pack_blob(m_f32, mf32, np.float32))]
         prepc["_dev_s"] = [
-            put(_pack_blob(s_u8, {"cand_bits": prepc["cand_bits"]},
-                           np.uint8)),
             put(_pack_blob(s_i32, si32, np.int32)),
             put(_pack_blob(s_f32, sf32, np.float32))]
         prepc["_device"] = device
@@ -842,7 +843,9 @@ class FastScanPipeline:
     def process_chunks(self, prepc, unpack=True, want_heatmap=False):
         """Device path for the chunk wire (prep_scan_chunks): H2D moves
         only the 5 windowed-u8 model chunks, 1-bit lobe bucket masks and
-        the 1-bit post-rule candidate — ~4x less than the w8 scan wire.
+        the stitch tables — the 1-bit post-rule candidate stays host-side
+        (post = packed-pred AND packed-cand after the D2H) — ~8x less
+        than the w8 scan wire.
         All stitching/Otsu/thresholding stays on device, in three chained
         programs (pre/model/post) whose intermediates never leave HBM;
         only pre and post are geometry-keyed (cheap XLA compiles), the
@@ -858,21 +861,44 @@ class FastScanPipeline:
                                                x80, l80f)
         stage2post = self._get_stage2post(iso_shape, bucket, o_shape,
                                           want_heatmap)
-        res = stage2post(out_l, ratio, lmask, *prepc["_dev_s"])
+        on_iso = not want_heatmap  # stage2post ships the iso-grid pred then
+        if want_heatmap:
+            # the archive path runs the post rule on device: lazily put
+            # the packed candidate (the hot path never uploads it)
+            if "_dev_cand" not in prepc:
+                cb = np.asarray(prepc["cand_bits"], np.uint8)
+                dev = prepc.get("_device")
+                prepc["_dev_cand"] = jnp.asarray(cb) if dev is None \
+                    else jax.device_put(cb, dev)
+            res = stage2post(out_l, ratio, lmask, *prepc["_dev_s"],
+                             prepc["_dev_cand"])
+        else:
+            res = stage2post(out_l, ratio, lmask, *prepc["_dev_s"])
         masks, meta = res[0], res[1]
-        on_iso = not want_heatmap  # stage2post ships iso-grid masks then
+        cand_np = np.asarray(prepc["cand_bits"], np.uint8) if on_iso \
+            else None
         if unpack:
-            masks_np = np.asarray(masks)
             meta_np = np.asarray(meta)
             th, ratio = float(meta_np[-1]), meta_np[:-1]
-            pred_p, post_p = masks_np[0], masks_np[1]
+            if on_iso:
+                pred_p = np.asarray(masks)
+                post_p = np.bitwise_and(pred_p, cand_np)
+            else:
+                masks_np = np.asarray(masks)
+                pred_p, post_p = masks_np[0], masks_np[1]
         else:
             # keep everything on device: the caller's finish stage fetches
-            # masks_packed/meta in two RPCs, off the dispatch path
+            # masks_packed/meta in two RPCs, off the dispatch path, and
+            # (iso wire) derives post by ANDing the packed pred with
+            # `cand_bits` host-side
             th, ratio = meta[-1], meta[:-1]
-            pred_p, post_p = masks[0], masks[1]
+            if on_iso:
+                pred_p, post_p = masks, None
+            else:
+                pred_p, post_p = masks[0], masks[1]
         out = {"masks_packed": masks, "meta": meta,
                "pred_packed": pred_p, "post_packed": post_p,
+               "cand_bits": cand_np,
                "threshold": th, "ratios": ratio,
                "present": prepc["present"],
                "out_shape": tuple(prepc["out_shape"]),

@@ -211,14 +211,15 @@ def stabilize_mosaic_cache_keys():
         return False
 
 
-def log_cache_events(sink=None):
+def log_cache_events(sink=None, counts=None):
     """Surface persistent-cache HIT/MISS per jitted module, loudly.
 
     A stale warm_cache/ seed is invisible without this: setup just takes
     minutes longer. Installs a handler on jax's compiler logger that
     forwards the two cache-outcome records to `sink` (default: stderr)
-    as one-liners:  `# xla-cache HIT jit_stage2model`. Returns a
-    zero-arg uninstaller."""
+    as one-liners:  `# xla-cache HIT jit_stage2model`. Pass a dict as
+    `counts` to additionally accumulate {"hit": n, "miss": n} for a
+    one-line summary. Returns a zero-arg uninstaller."""
     import logging
 
     if sink is None:
@@ -234,8 +235,12 @@ def log_cache_events(sink=None):
             except Exception:
                 return
             if "Persistent compilation cache hit" in msg:
+                if counts is not None:
+                    counts["hit"] = counts.get("hit", 0) + 1
                 sink(f"# xla-cache HIT  {record.args[0]}")
             elif "PERSISTENT COMPILATION CACHE MISS" in msg:
+                if counts is not None:
+                    counts["miss"] = counts.get("miss", 0) + 1
                 sink(f"# xla-cache MISS {record.args[0]}")
 
     handler = _CacheEventHandler(level=logging.DEBUG)

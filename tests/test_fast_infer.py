@@ -249,3 +249,34 @@ class TestChunkWire:
         packed = np.packbits(m.reshape(-1))
         got = np.asarray(unpackbits_u8_dev(jnp.asarray(packed), m.shape))
         np.testing.assert_array_equal(got, m)
+
+    def test_host_post_rule_matches_device_rule(self, model_and_params):
+        """The hot (no-heatmap) path derives post by ANDing PACKED pred
+        with the host candidate; the archive (heatmap) path ANDs the
+        unpacked bits on device. Same scan -> identical post voxels
+        inside the output window (AND commutes with MSB-first packing;
+        reference post rule dram/job_runner.py:1008-1014)."""
+        from dram_tpu.infer.fast import prep_scan_chunks
+        model, params, batch_stats = model_and_params
+        rng = np.random.default_rng(11)
+        scan, lobe, *_ = _synth_scan(rng, (36, 44, 44),
+                                     lesion_severity=[3, 4, 2, 5, 3])
+        span = (-1000, -300)
+        fast = FastScanPipeline(model, params, batch_stats, chunk_size=CHUNK,
+                                windowing_span=span)
+        prepc = prep_scan_chunks(scan, lobe, (1.2, 0.9, 0.9),
+                                 windowing_span=span, chunk_size=CHUNK)
+        host = fast.process_chunks(prepc, unpack=True)   # host AND
+        dev = fast.process_chunks(prepc, unpack=True,
+                                  want_heatmap=True)     # device AND
+        assert host["masks_on_iso"] and not dev["masks_on_iso"]
+        lo, oshape = dev["out_window"]
+        sl = tuple(slice(l, l + s) for l, s in zip(lo, oshape))
+        np.testing.assert_array_equal(host["post"][sl] > 0,
+                                      dev["post"][sl] > 0)
+        np.testing.assert_array_equal(host["pred"][sl] > 0,
+                                      dev["pred"][sl] > 0)
+        # packed post equals pack(unpacked post) on the iso grid
+        pp = np.bitwise_and(np.asarray(host["pred_packed"]),
+                            prepc["cand_bits"])
+        np.testing.assert_array_equal(pp, host["post_packed"])
