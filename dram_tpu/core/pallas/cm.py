@@ -17,8 +17,12 @@ tiny top-layer exit.
 flows through flax modules, jax.checkpoint (remat) and custom VJPs.
 
 All ops here are plain XLA (differentiable by tracing); pad lanes of every
-produced array are zero, matching `to_cm`'s contract (the conv kernels mask
-pad lanes on read regardless — conv3d.py:_plane_valid).
+array THIS module produces are zero. The conv kernels' outputs may carry
+garbage in pad lanes (the dx=0/dy=0 paths skip the pad mask for VPU
+throughput) — the cm ecosystem defends on READ instead: the conv kernels
+mask pad lanes at patch build (conv3d.py:_plane_valid), the pool reads
+only interior window lanes, stats/backward passes apply lane masks, and
+every exit to NDHWC slices the pad off.
 
 Reference parity note: these are layout-only rewrites of reference
 parts.py:116-155 (Upsample + crop-concat) and the nn.MaxPool3d of

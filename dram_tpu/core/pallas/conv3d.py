@@ -75,10 +75,14 @@ def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
     w = w_ref[:]  # (3, 3*Co, 3*Ci): dz-major, dy*Co rows, dx-major cols
     cp.wait()
 
-    # dx patches for every slab row, built once per grid step
+    # dx patches for every slab row, built once per grid step. The dx=0
+    # column skips the roll and pad-lane mask: its pad garbage reaches
+    # only output pad lanes (masked or sliced by every consumer); the dW
+    # kernel keeps the mask (see fused_stack._cbr_kernel).
     for r in range(BD + 2):
         row = slab[r]
-        for k, dx in enumerate((-1, 0, 1)):
+        patch[r, pl.ds(Ci, Ci)] = row
+        for k, dx in ((0, -1), (2, 1)):
             patch[r, pl.ds(k * Ci, Ci)] = _roll_lanes(row, dx) * \
                 _plane_valid(H, W, M, 0, dx, row.dtype)
 
@@ -90,8 +94,10 @@ def _fwd_kernel(w_ref, x_hbm, out_ref, acc, patch, slab, sem, *,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (3*Co, M)
         v = acc[:]
-        # out[y] += v[dy][y + dy], zero where y + dy leaves the plane
-        o = v[Co:2 * Co] * _plane_valid(H, W, M, 0, 0, jnp.float32)
+        # out[y] += v[dy][y + dy], zero where y + dy leaves the plane;
+        # dy=0 unmasked (only pad lanes are invalid there — defended on
+        # read by every consumer)
+        o = v[Co:2 * Co]
         for dyi, dy in ((0, -1), (2, 1)):
             o += _roll_lanes(v[dyi * Co:(dyi + 1) * Co], dy * W) * \
                 _plane_valid(H, W, M, dy, 0, jnp.float32)

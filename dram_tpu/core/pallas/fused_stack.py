@@ -158,7 +158,15 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbms, out_refs, stats_ref,
                     + t[off:off + cp, None], 0.0
                 ).astype(slabs[p].dtype)
             row = jnp.where(zvalid, row, jnp.zeros_like(row))
-            for k, dx in enumerate((-1, 0, 1)):
+            # dx=0 column: no roll, and no pad-lane mask — pad garbage in
+            # this column reaches only pad lanes of the OUTPUT (dx=0 maps
+            # lane m to out lane m; the dy=+-1 output rolls mask the two
+            # boundary rows), and every cm consumer masks pad lanes on
+            # read. The dW kernels keep the mask (their dy side can wrap
+            # nonzero lanes into pad columns). Saves a third of the
+            # patch-build VPU work.
+            patch[r, pl.ds(Ci + off, cp)] = row
+            for k, dx in ((0, -1), (2, 1)):
                 patch[r, pl.ds(k * Ci + off, cp)] = _roll_lanes(row, dx) * \
                     _plane_valid(H, W, M, 0, dx, row.dtype)
             off += cp
@@ -177,9 +185,10 @@ def _cbr_kernel(w_ref, s_ref, b_ref, x_hbms, out_refs, stats_ref,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (3*Co, M)
         v = acc[:]
-        # dy=0 keeps its in-plane mask so pad lanes stay zero (to_cm's
-        # contract); the dy=+-1 blocks roll then mask their targets
-        o = v[Co:2 * Co] * _plane_valid(H, W, M, 0, 0, jnp.float32)
+        # the dy=0 block needs no mask (its only invalid targets are pad
+        # lanes, which every cm consumer masks or slices on read); the
+        # dy=+-1 blocks roll then mask their targets
+        o = v[Co:2 * Co]
         for dyi, dy in ((0, -1), (2, 1)):
             o += _roll_lanes(v[dyi * Co:(dyi + 1) * Co], dy * W) * \
                 _plane_valid(H, W, M, dy, 0, jnp.float32)
