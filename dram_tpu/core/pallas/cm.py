@@ -36,9 +36,59 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..resample import _axis_weights
 from .conv3d import _plane_pad
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_tables(n):
+    """Align-corners 2x interpolation taps along one axis: out[i] =
+    x[lo_i]*(1-f_i) + x[hi_i]*f_i with t_i = i*(n-1)/(2n-1) (torch
+    semantics, identical to _axis_weights('linear_ac'))."""
+    i = np.arange(2 * n)
+    t = i * (n - 1) / (2 * n - 1) if n > 1 else np.zeros(2 * n)
+    lo = np.floor(t).astype(np.int32)
+    hi = np.minimum(lo + 1, n - 1)
+    f = (t - lo).astype(np.float32)
+    return lo, hi, f
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_adjoint_tables(n):
+    """Fixed-K gather tables for the transpose of _up2_tables: input row
+    d accumulates dy[g[k, d]] * w[k, d] (w zero-padded)."""
+    lo, hi, f = _up2_tables(n)
+    taps = [[] for _ in range(n)]
+    for o in range(2 * n):
+        taps[lo[o]].append((o, 1.0 - float(f[o])))
+        if hi[o] != lo[o]:
+            taps[hi[o]].append((o, float(f[o])))
+    K = max(len(v) for v in taps)
+    g = np.zeros((K, n), np.int32)
+    w = np.zeros((K, n), np.float32)
+    for d, v in enumerate(taps):
+        for k in range(K):
+            # unused taps repeat the row's first index at weight 0 so
+            # the kernel's per-block DMA window stays tight (a 0 index
+            # would span the whole axis)
+            o, wt = v[k] if k < len(v) else (v[0][0], 0.0)
+            g[k, d] = o
+            w[k, d] = wt
+    return g, w
+
+
+def _up2_depth_einsum(x, D):
+    """Matrix formulation of the align-corners 2x depth pass (XLA dot;
+    pays layout copies around the dot — the Pallas row-lerp kernel in
+    upsample.py is the fast path; jnp.take along axis 1 lowers as a
+    TPU gather and measured ~50 ms/step SLOWER than even this)."""
+    f32 = jnp.float32
+    Wd, _ = _axis_weights(D, 2 * D, "linear_ac", None)
+    y = jnp.einsum("od,bdcm->bocm", jnp.asarray(Wd, f32),
+                   x, preferred_element_type=f32)
+    return y.astype(x.dtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -193,10 +243,13 @@ def upsample2x_cm(cm):
     x = jnp.einsum("ow,bdchw->bdcho", jnp.asarray(Ww, f32), x,
                    preferred_element_type=f32).astype(dt)
     flat = _repack(x, dt)  # (B, D, C, M2) lane-padded plane
-    Wd, _ = _axis_weights(D, 2 * D, "linear_ac", None)
-    y = jnp.einsum("od,bdcm->bocm", jnp.asarray(Wd, f32), flat,
-                   preferred_element_type=f32)
-    return CM(y.astype(dt), 2 * H, 2 * W)
+    # depth pass: Pallas row-lerp when supported (no dot, no relayout —
+    # the einsum form paid ~8-10 ms/step of layout copies at the us
+    # levels), einsum fallback otherwise
+    from .upsample import up2_depth_flat, up2_depth_supported
+    if up2_depth_supported(flat.shape):
+        return CM(up2_depth_flat(flat), 2 * H, 2 * W)
+    return CM(_up2_depth_einsum(flat, D), 2 * H, 2 * W)
 
 
 def concat_cm(cms):

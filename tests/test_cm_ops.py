@@ -226,3 +226,25 @@ class TestMaxpoolFlatTies:
         g2 = jax.grad(lambda d: jnp.sum(ref(d) * cot))(cm.data)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestUp2DepthPallas:
+    """The Pallas depth-2x row-lerp kernel (interpret mode) matches the
+    einsum formulation exactly — same align-corners weight table, f32
+    lerp (reference nn.Upsample align_corners depth axis)."""
+
+    def test_fwd_and_vjp_match_einsum(self, rng):
+        from dram_tpu.core.pallas.cm import _up2_depth_einsum
+        from dram_tpu.core.pallas.upsample import up2_depth_flat
+        for B, D, C, M in ((2, 10, 3, 128), (1, 7, 2, 128)):
+            x = jnp.asarray(rng.normal(size=(B, D, C, M)).astype(np.float32))
+            ref = _up2_depth_einsum(x, D)
+            got = up2_depth_flat(x, True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5)
+            ct = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+            _, vr = jax.vjp(lambda v: _up2_depth_einsum(v, D), x)
+            _, vg = jax.vjp(lambda v: up2_depth_flat(v, True), x)
+            np.testing.assert_allclose(np.asarray(vg(ct)[0]),
+                                       np.asarray(vr(ct)[0]),
+                                       atol=1e-5, rtol=1e-5)

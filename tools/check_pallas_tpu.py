@@ -262,6 +262,36 @@ def check_pool():
     return ok
 
 
+def check_upsample():
+    """Pallas depth-2x row-lerp vs the einsum formulation at the
+    production us_2 shape — fwd and VJP (same f32 lerp weights, so the
+    tolerance is pure summation-order noise)."""
+    import time
+
+    from dram_tpu.core.pallas.cm import _up2_depth_einsum
+    from dram_tpu.core.pallas.upsample import up2_depth_flat
+
+    B, D, C, M = 10, 40, 128, 6400
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(B, D, C, M)), jnp.bfloat16)
+    ct = jnp.asarray(rng.normal(size=(B, 2 * D, C, M)), jnp.bfloat16)
+
+    t0 = time.time()
+    got = jax.jit(up2_depth_flat)(x)
+    jax.block_until_ready(got)
+    print(f"up2_depth fwd (pallas) compiled+ran in {time.time() - t0:.1f}s")
+    want = jax.jit(lambda v: _up2_depth_einsum(v, D))(x)
+    ok = _report("up2_depth fwd 40->80 C=128", got.astype(jnp.float32),
+                 want.astype(jnp.float32), atol=1e-2, rtol=1e-2)
+    _, vp = jax.vjp(lambda v: up2_depth_flat(v), x)
+    _, vx = jax.vjp(lambda v: _up2_depth_einsum(v, D), x)
+    gp, = jax.jit(vp)(ct)
+    gx, = jax.jit(vx)(ct)
+    ok &= _report("up2_depth VJP dx", gp.astype(jnp.float32),
+                  gx.astype(jnp.float32), atol=2e-2, rtol=2e-2)
+    return ok
+
+
 def main():
     from dram_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -274,6 +304,7 @@ def main():
     ok &= check_conv3d()
     ok &= check_fused_stack()
     ok &= check_pool()
+    ok &= check_upsample()
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 
