@@ -6,16 +6,32 @@ thorax scans — the BASELINE.json driver metric — in production shape: a
 host prep thread (C++ iso resample + chunk-wire packing,
 dram_tpu.infer.fast.prep_scan_chunks) prefetches upcoming scans while the
 chip runs the batched per-lobe chunk pipeline for the current one;
-outputs come back bit-packed. Prints exactly ONE JSON line on stdout:
+outputs come back bit-packed.
 
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+TAIL CONTRACT (the driver parses the LAST bare JSON line of the combined
+stdout+stderr tail — round 4 lost the headline because the train record
+printed a bare JSON line after it):
+  * the headline
+      {"metric": "ct_volumes_per_min_per_chip", "value": ..., ...}
+    is printed TWICE on stdout — once right after the timed loop (crash
+    insurance: a later diagnostics failure can never lose it) and once
+    as the ABSOLUTE FINAL line of the run;
+  * every other JSON-ish diagnostic line is prefixed with `# ` so it can
+    never be mistaken for the headline;
+  * a compact `# ==== bench summary ====` block right before the final
+    headline repeats every key line (setup, stage medians, control
+    median, parity lines, train record) so they sit inside the driver's
+    tail window even after verbose phases.
 
 vs_baseline = measured volumes/min over the 12 volumes/min implied by the
 driver's 5 s/scan target (BASELINE.md); > 1.0 beats the target.
 
-Diagnosability (all on stderr, so the driver tail carries it):
+Diagnosability (all on stderr):
   * `# xla-cache HIT/MISS <module>` per jitted program at setup — a stale
-    warm_cache/ seed is loud instead of silently costing minutes;
+    warm_cache/ seed is loud instead of silently costing minutes. After
+    the timed loop HIT lines are suppressed (counts only): the train
+    microbench's init emits hundreds of tiny-program HITs that scrolled
+    the round-4 telemetry out of the tail window;
   * per-scan stage split in the timed loop: prep / h2d / dispatch /
     device-wait / d2h ms, plus the scan's geometry — tunnel stalls,
     prep starvation, and program swaps become attributable;
@@ -23,8 +39,12 @@ Diagnosability (all on stderr, so the driver tail carries it):
     calibrate tunnel state against the mixed-geometry headline;
   * a wc-vs-w8 wire parity line at the production geometry (Dice +
     differing-voxel count; BENCH_PARITY=0 skips);
+  * a fast-vs-slow parity line: the same production-geometry scan
+    through the reference-shaped host-stitch path (engine.process_scan
+    semantics, dram/job_runner.py:906-1068) vs the wc pipeline
+    (BENCH_PARITY=0 skips);
   * a training-throughput record (flagship train step, ms/step +
-    chunks/s; BENCH_TRAIN=0 skips) as a JSON line on stderr.
+    chunks/s; BENCH_TRAIN=0 skips) as a `# train-record`-prefixed line.
 """
 
 import json
@@ -122,8 +142,87 @@ def wire_parity_check(pipe, scan, lobe, spacing, span, wc_out):
         diff = int(np.logical_xor(a, b).sum())
         lines.append(f"{name}: dice={dice:.4f} voxdiff={diff} "
                      f"(wc={na} w8={nb})")
-    _err(f"# wire-parity wc vs w8 @ {scan.shape}: " + "; ".join(lines)
-         + f" [{time.time() - t0:.1f}s incl. w8 compile/load]")
+    return (f"# wire-parity wc vs w8 @ {scan.shape}: " + "; ".join(lines)
+            + f" [{time.time() - t0:.1f}s incl. w8 compile/load]")
+
+
+def slow_path_parity_check(pipe, scan, lobe, spacing, span, wc_out):
+    """Fast wc pipeline vs the reference-shaped host-stitch path on the
+    production geometry (VERDICT r4 #5: the fast-vs-slow Dice gate ran
+    only on small synthetic volumes in tests; drive it at 512-class scale
+    on hardware, in the round artifact). The slow path mirrors
+    engine.process_scan semantics — host iso resample, per-lobe crop +
+    fixed-size chunk resample, B=1 forwards, host stitch + Otsu +
+    threshold, nearest resample back — modelling the reference chain
+    dram/job_runner.py:906-1068."""
+    import jax
+    import jax.numpy as jnp
+    from dram_tpu.core.ops import binary_cam_np, find_crops_np
+    from dram_tpu.core.resample import resize3d_np
+    from dram_tpu.data import transforms as T
+    from dram_tpu.data.transforms import resample_array
+    from dram_tpu.losses.interval_reg import ratio_to_label
+
+    t0 = time.time()
+    chunk = pipe.chunk_size
+    iso_t = T.Resample(mode="fixed_spacing", factor=1.0)
+    s = iso_t({"#image": scan.astype(np.int16),
+               "#lobe_reference": lobe.astype(np.uint8),
+               "meta": {"size": scan.shape, "spacing": spacing}})
+    iso_scan, iso_lobe = s["#image"], s["#lobe_reference"]
+    iso_spacing = s["meta"]["spacing"]
+    htp = np.zeros(iso_scan.shape, np.float32)
+    pre = T.Compose([T.Windowing(min=span[0], max=span[1]),
+                     T.Resample(mode="fixed_size", factor=1.0, size=chunk)])
+
+    @jax.jit
+    def fwd1(params, batch_stats, image, lb):
+        _, refined = pipe.model_eval.apply(
+            {"params": params, "batch_stats": batch_stats}, image, lb)
+        return refined
+
+    for li in range(1, 6):
+        m = iso_lobe == li
+        if not m.any():
+            continue
+        crop = find_crops_np(m, iso_spacing, 5)
+        lobe_chunk = m[crop]
+        scan_chunk = iso_scan[crop].copy()
+        scan_chunk[~lobe_chunk] = pipe.pad_value
+        ret = pre({"#image": scan_chunk.astype(np.int16),
+                   "#lobe_reference": lobe_chunk.astype(np.uint8),
+                   "meta": {"size": scan_chunk.shape,
+                            "spacing": iso_spacing}})
+        refined = fwd1(pipe.params, pipe.batch_stats,
+                       jnp.asarray(ret["#image"][None, ..., None],
+                                   jnp.float32),
+                       jnp.asarray(ret["#lobe_reference"][None, ..., None],
+                                   jnp.float32))
+        out = np.asarray(refined, np.float32)[0, ..., 0]
+        lb = ret["#lobe_reference"] > 0
+        probs = 1.0 / (1.0 + np.exp(-out))
+        ratio = float(probs[lb].mean()) if lb.any() else 0.0
+        cam = resize3d_np(out, scan_chunk.shape, "trilinear")
+        cam = np.maximum(cam, 0.0)
+        if cam.max() > 0:
+            cam = cam / cam.max()
+        if ratio_to_label([ratio])[0] == 0:
+            cam[:] = 0.0
+        htp[crop][lobe_chunk] = cam[lobe_chunk]
+    lung = iso_lobe > 0
+    _, th = binary_cam_np(htp[lung])
+    pred_iso = (htp > th).astype(np.uint8)
+    pred_slow, _ = resample_array(pred_iso, (1.0, 1.0, 1.0),
+                                  list(spacing), list(scan.shape), "nearest")
+    a = wc_out["pred"].astype(bool)
+    b = pred_slow.astype(bool)
+    inter = int(np.logical_and(a, b).sum())
+    na, nb = int(a.sum()), int(b.sum())
+    dice = 2.0 * inter / max(na + nb, 1)
+    diff = int(np.logical_xor(a, b).sum())
+    return (f"# slow-path parity fast-wc vs engine-shaped @ {scan.shape}: "
+            f"pred dice={dice:.4f} voxdiff={diff} (fast={na} slow={nb}) "
+            f"[{time.time() - t0:.1f}s]")
 
 
 def train_microbench(steps=8, batch=10):
@@ -229,7 +328,23 @@ def main():
 
     enable_compilation_cache()
     cache_counts = {}
-    log_cache_events(counts=cache_counts)  # "# xla-cache HIT/MISS ..."
+    # HIT lines are useful during setup (a stale seed is loud) but the
+    # diagnostics phases after the timed loop flip this to quiet mode:
+    # the train microbench's model.init logs hundreds of tiny-program
+    # HITs, which scrolled the round-4 telemetry out of the driver tail
+    quiet_hits = [False]
+
+    def cache_sink(line):
+        if quiet_hits[0] and " HIT " in line:
+            return
+        _err(line)
+
+    log_cache_events(sink=cache_sink, counts=cache_counts)
+    summary = []  # key lines, re-printed as the tail summary block
+
+    def note(line):
+        _err(line)
+        summary.append(line)
     try:  # label the per-executable deserialize/load cost (tunnel-bound)
         from jax._src import monitoring
 
@@ -331,7 +446,8 @@ def main():
             outk = run_device(prep_and_upload(*scans[k]), False)
             np.asarray(outk.get("masks_packed", outk["pred_packed"]))
             mark(f"warmup scan {k} (geometry {geoms[k][0]})")
-    _err(f"# setup+compile {time.time() - t_setup:.1f}s; "
+    setup_s = time.time() - t_setup
+    note(f"# setup+compile {setup_s:.1f}s; "
          f"pred voxels {int(out0['pred'].sum())}; xla-cache "
          f"{cache_counts.get('hit', 0)} hit / "
          f"{cache_counts.get('miss', 0)} miss")
@@ -358,8 +474,12 @@ def main():
                 packed = packed[0]
             elif out.get("cand_bits") is not None:
                 # iso wire ships pred alone; post = packed AND (host,
-                # bit-identical to the device rule — same grid and order)
+                # bit-identical to the device rule — same grid and order).
+                # The bench only times the AND, but the shape assert keeps
+                # a packing/length mismatch with cand_bits loud here too
+                # (the unit test covers the values).
                 _post = np.bitwise_and(packed, out["cand_bits"])
+                assert _post.shape == packed.shape
         else:
             packed = np.asarray(out["pred_packed"])
         t2 = time.perf_counter()
@@ -425,7 +545,7 @@ def main():
                  f"dispatch={td * 1e3:5.0f}ms devwait={tw * 1e3:6.0f}ms "
                  f"d2h={t2h * 1e3:6.0f}ms")
         med = float(np.median(per_scan))
-        _err(f"# {label}: {n} scans in {dt:.2f}s; stage medians "
+        note(f"# {label}: {n} scans in {dt:.2f}s; stage medians "
              f"prep={np.median([s[1] for s in stages]) * 1e3:.0f}ms "
              f"h2d={np.median([s[2] for s in stages]) * 1e3:.0f}ms "
              f"dispatch={np.median([s[3] for s in stages]) * 1e3:.0f}ms "
@@ -453,15 +573,20 @@ def main():
 
     vpm = 60.0 / sec
     target_vpm = 60.0 / 5.0
-    # the ONLY stdout line — printed before the optional diagnostics
-    # phases below so a failure there can never lose the headline
-    print(json.dumps({
+    headline = {
         "metric": "ct_volumes_per_min_per_chip"
                   + ("_mixed_geometry" if mixed else ""),
         "value": round(vpm, 3),
         "unit": "volumes/min",
         "vs_baseline": round(vpm / target_vpm, 3),
-    }), flush=True)
+        "s_per_scan_median": round(sec, 3),
+        "setup_s": round(setup_s, 1),
+    }
+    # crash insurance: should any diagnostics phase below take the
+    # process down, this early print is already the last JSON line —
+    # every later diagnostic is `# `-prefixed, and on a clean run the
+    # SAME headline is re-printed as the absolute final line
+    print(json.dumps(headline), flush=True)
 
     # fixed-geometry control: same machinery, geometry 0 only — if this
     # matches the mixed-geometry medians, the residual spread is
@@ -470,17 +595,24 @@ def main():
         try:
             ctrl, _ = timed_loop([0] * n_control,
                                  f"CONTROL (geometry {geoms[0][0]} only)")
-            _err(f"# control median {float(np.median(ctrl)):.3f} s/scan vs "
+            ctrl_med = float(np.median(ctrl))
+            headline["control_s_per_scan"] = round(ctrl_med, 3)
+            note(f"# control median {ctrl_med:.3f} s/scan vs "
                  f"headline {sec:.3f} s/scan")
         except Exception as e:
-            _err(f"# control loop failed: {e!r}")
+            note(f"# control loop failed: {e!r}")
 
+    quiet_hits[0] = True  # diagnostics phases: count HITs, log MISSes
     if os.environ.get("BENCH_PARITY", "1") == "1" and wire == "wc" \
             and not mixed:
         try:
-            wire_parity_check(pipe, *scans[0], span, out0)
+            note(wire_parity_check(pipe, *scans[0], span, out0))
         except Exception as e:
-            _err(f"# wire-parity check failed: {e!r}")
+            note(f"# wire-parity check failed: {e!r}")
+        try:
+            note(slow_path_parity_check(pipe, *scans[0], span, out0))
+        except Exception as e:
+            note(f"# slow-path parity check failed: {e!r}")
 
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
@@ -493,9 +625,21 @@ def main():
             import gc
             gc.collect()
             rec = train_microbench()
-            _err(json.dumps(rec))
+            headline["train_ms_per_step"] = rec["ms_per_step"]
+            headline["train_chunks_per_sec"] = rec["value"]
+            # `# `-prefixed: MUST NOT be parseable as the final JSON line
+            # (round 4 lost the volumes/min headline to this record)
+            note("# train-record " + json.dumps(rec))
         except Exception as e:
-            _err(f"# train microbench failed: {e!r}")
+            note(f"# train microbench failed: {e!r}")
+
+    # ---- tail summary block + the authoritative final headline line ----
+    _err("# ==== bench summary ====")
+    for line in summary:
+        _err(line)
+    _err("# ==== end summary; the next line is the headline JSON ====")
+    sys.stderr.flush()
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -168,6 +168,26 @@ def _unpack(cm):
     return cm.data[..., :cm.H * cm.W].reshape(B, D, C, cm.H, cm.W)
 
 
+def poison_pad_lanes(cm, value=1e30):
+    """Test/debug helper enforcing the defend-on-read contract.
+
+    Conv kernel outputs may carry garbage in pad lanes (module docstring);
+    every consumer must mask or slice before reducing over the full M
+    axis. Tests overwrite the pad lanes with a loud sentinel after conv
+    calls and assert downstream results are unchanged — an unmasked
+    full-M reduction then fails with a ~1e30-magnitude result instead of
+    silently passing on the zeros the reference inputs happen to carry.
+    Returns a CM with identical valid lanes and `value` in pad lanes."""
+    data = cm.data
+    M = data.shape[-1]
+    hw = cm.H * cm.W
+    if M == hw:
+        return cm
+    lane = jnp.arange(M) >= hw
+    data = jnp.where(lane, jnp.asarray(value, data.dtype), data)
+    return CM(data, cm.H, cm.W)
+
+
 def maxpool2_cm(cm, use_pallas=None):
     """2x2x2 max-pool, stride 2 (reference nn.MaxPool3d(2, 2)) on the cm
     layout. Requires even D, H, W (the caller falls back to the NDHWC
@@ -247,7 +267,7 @@ def upsample2x_cm(cm):
     # the einsum form paid ~8-10 ms/step of layout copies at the us
     # levels), einsum fallback otherwise
     from .upsample import up2_depth_flat, up2_depth_supported
-    if up2_depth_supported(flat.shape):
+    if up2_depth_supported(flat.shape, flat.dtype.itemsize):
         return CM(up2_depth_flat(flat), 2 * H, 2 * W)
     return CM(_up2_depth_einsum(flat, D), 2 * H, 2 * W)
 

@@ -37,9 +37,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def up2_depth_supported(shape):
+def up2_depth_supported(shape, itemsize=4):
     """(B, D, C, M) with D >= 2 on a TPU backend (DRAM_UP2_PALLAS=0
-    disables; M is lane-padded by construction)."""
+    disables; M is lane-padded by construction).
+
+    Also requires the minimum kernel working set to fit the VMEM budget:
+    _pick_block can bottom out at bd=1 while still over budget (it only
+    shrinks the block, never rejects), in which case the pallas_call
+    would compile against the 100 MB vmem_limit and fail at RUNTIME.
+    Oversized (C, M) rows must instead route to the einsum fallback
+    (cm._up2_depth_einsum). Worst-case rows at bd=1: a double-buffered
+    input slab of SI <= 4 rows (the x2 linear-lerp window per output row
+    spans <= 2 input rows; the adjoint <= 4) plus the double-buffered
+    1-row output window -> 2*4 + 2 = 10 rows."""
     if os.environ.get("DRAM_UP2_PALLAS", "1") != "1":
         return False
     try:
@@ -47,7 +57,10 @@ def up2_depth_supported(shape):
             return False
     except Exception:
         return False
-    return len(shape) == 4 and shape[1] >= 2 and shape[3] % 128 == 0
+    if not (len(shape) == 4 and shape[1] >= 2 and shape[3] % 128 == 0):
+        return False
+    row_bytes = int(shape[2]) * int(shape[3]) * int(itemsize)
+    return 10 * row_bytes <= 56 * 1024 * 1024
 
 
 def _pick_block(n_out, row_bytes, out_win, budget=56 * 1024 * 1024):

@@ -23,7 +23,9 @@ per-lobe scale factors data, not shapes.
 
 from __future__ import annotations
 
+import functools
 import logging
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +43,24 @@ from ..losses.interval_reg import CTSS_RATIO_UB
 DEFAULT_WINDOWING_SPAN = (-1000, -700)
 
 _NATIVE_PREP_WARNED = False
+
+
+def _stage_builder(fn):
+    """Serialize stage-variant construction under the pipeline's RLock.
+
+    Under scan-sharded threads (engine.py --shard / _params_on multi-chip
+    mode) two threads can race a `_get_stage*` for the same key: each
+    would build — and on first call compile — its own jit object for the
+    identical program. The lock makes key lookup + build atomic, so
+    exactly one jit object exists per variant key and jax's own dispatch
+    cache dedups the compile. Builders only construct the (cheap) jit
+    wrapper — compilation still happens lazily at first call, outside
+    this lock, so unrelated variants keep compiling concurrently."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._stage_lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
 
 
 def plan_bucket(lows, sizes, iso_shape):
@@ -237,6 +257,7 @@ class FastScanPipeline:
         self._stage2 = {}
         self._stage3 = {}
         self._dev_params = {}
+        self._stage_lock = threading.RLock()
 
     def _params_on(self, device):
         """(params, batch_stats) committed to `device` (cached per device).
@@ -256,6 +277,7 @@ class FastScanPipeline:
         return self._dev_params[device]
 
     # -- stage 1: iso resample ------------------------------------------
+    @_stage_builder
     def _get_stage1(self, in_shape, iso_shape, scales):
         key = (in_shape, iso_shape, tuple(np.round(scales, 6)))
         n_lobes = self.n_lobes
@@ -283,6 +305,7 @@ class FastScanPipeline:
         return self._stage1[key]
 
     # -- stage 1p: decode host-prepped packed iso volumes -----------------
+    @_stage_builder
     def _get_stage1p(self, iso_shape, n_voxels):
         key = ("prepped", iso_shape, n_voxels)
         if key not in self._stage1:
@@ -302,6 +325,7 @@ class FastScanPipeline:
         return self._stage1[key]
 
     # -- stage 1w: decode windowed 8-bit wire (hostprep.window8) ----------
+    @_stage_builder
     def _get_stage1w(self, iso_shape, n_voxels, span):
         key = ("w8", iso_shape, n_voxels, span)
         if key not in self._stage1:
@@ -322,6 +346,7 @@ class FastScanPipeline:
         return self._stage1[key]
 
     # -- stage 2: batched lobe chunks -> stitched heatmap ----------------
+    @_stage_builder
     def _get_stage2(self, iso_shape, bucket):
         key = (iso_shape, bucket)
         if key in self._stage2:
@@ -387,6 +412,7 @@ class FastScanPipeline:
         return stage2
 
     # -- stage 3: threshold + post + back-resample ------------------------
+    @_stage_builder
     def _get_stage3(self, iso_shape, out_shape, back_scales):
         key = (iso_shape, out_shape, tuple(np.round(back_scales, 6)))
         if key in self._stage3:
@@ -412,6 +438,7 @@ class FastScanPipeline:
         return stage3
 
     # -- stage 3c: crop-aware variant (host-prepped lung-cropped grids) --
+    @_stage_builder
     def _get_stage3c(self, iso_crop_shape, out_crop_shape,
                      want_heatmap=False):
         key = ("crop", iso_crop_shape, out_crop_shape, want_heatmap)
@@ -620,6 +647,7 @@ class FastScanPipeline:
     # XLA), model (NO geometry in the key — the heavy Mosaic executable
     # compiles/loads exactly once and serves every scan geometry), post
     # (geometry-keyed, cheap XLA). Intermediates stay on device.
+    @_stage_builder
     def _get_stage2pre(self, bucket):
         key = ("wcp", bucket)
         if key in self._stage2:
@@ -642,6 +670,7 @@ class FastScanPipeline:
         self._stage2[key] = stage2pre
         return stage2pre
 
+    @_stage_builder
     def _get_stage2model(self):
         """The heavy stage: model forward on the fixed (n_lobes, *chunk)
         batch + per-lobe ratio. Its jit key carries NO scan geometry, so
@@ -666,6 +695,7 @@ class FastScanPipeline:
         self._stage2[key] = stage2model
         return stage2model
 
+    @_stage_builder
     def _get_stage2post(self, iso_shape, bucket, o_shape, want_heatmap):
         key = ("wcs", iso_shape, bucket, o_shape, want_heatmap)
         if key in self._stage2:
@@ -749,6 +779,7 @@ class FastScanPipeline:
         self._stage2[key] = stage2post
         return stage2post
 
+    @_stage_builder
     def _get_stage2val(self, bucket):
         """Validation epilogue (reference job_runner.py:766-775 semantics,
         on device): sigmoid probs of the refined head resized back to the

@@ -1061,6 +1061,13 @@ class LesionSegChunkTrain(JobRunner):
                     self.train_records.to_csv(self.exp_path + "/records.csv",
                                               index=False)
                 self.scheduler.step()
+            # PARAM_LOG_EPOCHS > 0: per-parameter histogram + mean/std
+            # dump every N epochs. Default 0 (off) matches the reference,
+            # where print_model_parameters (job_runner.py:347-354) exists
+            # but is never called from the run loop.
+            ple = int(getattr(s, "PARAM_LOG_EPOCHS", 0) or 0)
+            if ple > 0 and epoch_n % ple == 0:
+                self.print_model_parameters(self.current_iteration)
             if epoch_n % s.STATE_EPOCHS == 0 or epoch_n == s.NUM_EPOCHS - 1:
                 self.save_model()
         self.logger.info(f"Training stops at epoch {self.epoch_n}.")

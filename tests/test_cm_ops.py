@@ -131,6 +131,54 @@ class TestBoundaryOps:
             pad = np.asarray(cm.data[..., cm.H * cm.W:])
             np.testing.assert_array_equal(pad, np.zeros_like(pad))
 
+    def test_consumers_defend_against_poisoned_pad_lanes(self, rng):
+        """Defend-on-read contract (cm.py module docstring): conv outputs
+        may carry garbage in pad lanes, so every cm consumer must mask or
+        slice before reducing over the full M axis. Poison the pad lanes
+        with a 1e30 sentinel and assert each boundary op reproduces the
+        clean result exactly — an unmasked full-M reduction would blow up
+        loudly instead of silently passing on zeros (ADVICE r4)."""
+        import flax.linen as nn
+        from dram_tpu.core.pallas.cm import conv1x1_cm, poison_pad_lanes
+        x = _rand(rng, (1, 2, 4, 10, 3))  # H*W=40 -> padded lanes
+        clean = to_cm_t(x)
+        poisoned = poison_pad_lanes(clean)
+        assert np.isfinite(np.asarray(poisoned.data)).all() is not True \
+            or np.asarray(poisoned.data[..., clean.H * clean.W:]).max() \
+            >= 1e29  # the sentinel actually landed
+        kernel = jnp.asarray(
+            np.random.default_rng(7).normal(size=(1, 1, 1, 3, 5)),
+            jnp.float32)
+        bias = jnp.zeros((5,), jnp.float32)
+        pairs = [
+            (lambda c: as_ndhwc(c), "exit"),
+            (lambda c: as_ndhwc(maxpool2_cm(c)), "pool"),
+            (lambda c: as_ndhwc(resize_cm(c, (2, 4, 10))), "resize"),
+            (lambda c: as_ndhwc(upsample2x_cm(c)), "up2"),
+            (lambda c: as_ndhwc(conv1x1_cm(c, kernel, bias, jnp.float32)),
+             "conv1x1"),
+        ]
+        for fn, name in pairs:
+            np.testing.assert_array_equal(
+                np.asarray(fn(poisoned)), np.asarray(fn(clean)),
+                err_msg=f"{name} read poisoned pad lanes")
+
+
+class TestUp2DepthGate:
+    def test_oversized_rows_route_to_einsum(self, monkeypatch):
+        """up2_depth_supported must reject (C, M) rows whose bd=1 working
+        set exceeds the 56 MB VMEM budget (ADVICE r4: _pick_block only
+        shrinks the block, never rejects, so an oversized row used to
+        compile against the 100 MB vmem_limit and fail at RUNTIME)."""
+        from dram_tpu.core.pallas import upsample as up
+        monkeypatch.setattr(up.jax, "default_backend", lambda: "tpu")
+        # normal training shape: C=64, M=80*80 lane-padded -> ~1.6 MB rows
+        assert up.up2_depth_supported((5, 40, 64, 6400), 4)
+        # pathological row: 10x over budget at bd=1
+        assert not up.up2_depth_supported((1, 4, 2048, 32768), 4)
+        # bf16 halves the row bytes; boundary case stays consistent
+        assert up.up2_depth_supported((1, 4, 512, 4096), 2)
+
 
 class TestConv1x1:
     def test_matches_nn_conv(self, rng):
