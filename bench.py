@@ -56,6 +56,39 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+def load_bench_weights():
+    """Trained flagship weights from assets/bench_weights.ckpt.xz
+    (tools/export_bench_weights.py), params cast back to f32; None when
+    the asset is absent or BENCH_RANDOM_WEIGHTS=1.
+
+    Trained weights make the CAM bimodal, so the Otsu threshold the
+    parity gates depend on sits in a histogram valley (stable under
+    1/255 wire quantization) — deployment conditions, instead of the
+    random-init chatter that dominated the round-4 parity numbers."""
+    if os.environ.get("BENCH_RANDOM_WEIGHTS", "0") == "1":
+        return None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "assets", "bench_weights.ckpt.xz")
+    try:
+        import lzma
+
+        import jax
+        import numpy as np
+        from flax import serialization
+        with open(path, "rb") as fp:
+            tree = serialization.msgpack_restore(lzma.decompress(fp.read()))
+        tree["params"] = jax.tree.map(
+            lambda a: a.astype(np.float32)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+            tree["params"])
+        return tree
+    except FileNotFoundError:
+        return None
+    except Exception as e:
+        _err(f"# bench weights load failed ({e!r}); using random init")
+        return None
+
+
 def build_pipeline(chunk=(80, 80, 80), at=(64, 64, 64), dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
@@ -69,8 +102,15 @@ def build_pipeline(chunk=(80, 80, 80), at=(64, 64, 64), dtype="bfloat16"):
                           use_fused_stack=on_tpu,
                           dtype=jnp.bfloat16 if dtype == "bfloat16"
                           else jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, *chunk, 1), jnp.float32))
+    variables = load_bench_weights()
+    if variables is None:
+        _err("# bench weights: RANDOM INIT (parity gates measure Otsu "
+             "bin chatter at random init; ship assets/bench_weights)")
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, *chunk, 1),
+                                                  jnp.float32))
+    else:
+        _err("# bench weights: assets/bench_weights.ckpt.xz (trained)")
     return FastScanPipeline(model, variables["params"],
                             variables["batch_stats"], chunk_size=chunk,
                             windowing_span=(-1000, -700))

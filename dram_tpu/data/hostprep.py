@@ -125,44 +125,84 @@ def prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
 
     With `windowing_span`, the scan payload is the windowed 8-bit wire
     (window8) instead of packed 12-bit HU — 33% fewer bytes on the scan,
-    exact w.r.t. the downstream windowing up to 1/255 quantization."""
+    exact w.r.t. the downstream windowing up to 1/255 quantization.
+
+    Native path: the lung crop window is derived from a subgrid bbox
+    pass over the RAW lobe volume and the scan is resampled only INSIDE
+    that window (the full iso grid is never materialized — the mask is
+    provably zero outside the lobes, so the rest of the grid is never
+    consumed). Bit-identical to full-resample-then-crop: the window
+    kernels evaluate the same global iso coordinates."""
     hp = None
-    try:
-        from ..native import hostprep_native as hp  # C++ fast path
-        iso_scan, iso_shape = hp.resample_iso_int16(scan_int16, spacing,
-                                                    iso_spacing, pad_value)
-        iso_lobe = hp.resample_iso_labels(lobe_u8, spacing, iso_spacing)
-    except Exception:
-        hp = None
-        iso_scan_f, iso_shape = resample_iso_np(scan_int16, spacing,
-                                                iso_spacing, "linear",
-                                                fill_value=pad_value)
-        iso_scan = np.round(iso_scan_f).astype(np.int16)
-        iso_lobe_f, _ = resample_iso_np(lobe_u8, spacing, iso_spacing,
-                                        "nearest", dtype=np.float32)
-        iso_lobe = iso_lobe_f.astype(np.uint8)
-
-    iso_vessel = None
-    if vessel_u8 is not None and np.any(vessel_u8):
-        if hp is not None:
-            iso_vessel = hp.resample_iso_labels(vessel_u8, spacing,
-                                                iso_spacing)
-        else:
-            v_f, _ = resample_iso_np(vessel_u8, spacing, iso_spacing,
-                                     "nearest", dtype=np.float32)
-            iso_vessel = v_f.astype(np.uint8)
-
-    full_iso_shape = tuple(iso_shape)
-    crop_lo = np.zeros(3, np.int64)
     if crop_to_lung:
-        crop_lo, crop_shape = lung_crop(iso_lobe)
-        sl = tuple(slice(int(l), int(l) + s)
-                   for l, s in zip(crop_lo, crop_shape))
-        iso_scan = np.ascontiguousarray(iso_scan[sl])
-        iso_lobe = np.ascontiguousarray(iso_lobe[sl])
-        if iso_vessel is not None:
-            iso_vessel = np.ascontiguousarray(iso_vessel[sl])
-        iso_shape = crop_shape
+        try:
+            from ..native import hostprep_native as hp  # C++ fast path
+            n_lobes = 5
+            mins, maxs, full_iso_shape = hp.subgrid_bboxes(
+                lobe_u8, spacing, iso_spacing, n_lobes)
+            have = maxs[:, 0] >= mins[:, 0]
+            shape_arr = np.asarray(full_iso_shape, np.int64)
+            if have.any():  # lung_crop border/rounding semantics
+                lo = np.maximum(
+                    mins[have].min(axis=0).astype(np.int64) - 8, 0)
+                hi = np.minimum(
+                    maxs[have].max(axis=0).astype(np.int64) + 1 + 8,
+                    shape_arr)
+            else:
+                lo, hi = np.zeros(3, np.int64), shape_arr.copy()
+            size = np.minimum(-(-(hi - lo) // 32) * 32, shape_arr)
+            crop_lo = np.maximum(np.minimum(lo, shape_arr - size), 0)
+            crop_shape = tuple(int(s) for s in size)
+            iso_lobe = hp.resample_window_labels(lobe_u8, spacing,
+                                                 iso_spacing, crop_lo,
+                                                 crop_shape)
+            iso_scan = hp.resample_window_int16(scan_int16, spacing,
+                                                iso_spacing, crop_lo,
+                                                crop_shape, fill=pad_value)
+            iso_vessel = None
+            if vessel_u8 is not None and np.any(vessel_u8):
+                iso_vessel = hp.resample_window_labels(
+                    vessel_u8, spacing, iso_spacing, crop_lo, crop_shape)
+            iso_shape = crop_shape
+        except Exception:
+            hp = None
+    if hp is None:
+        try:
+            from ..native import hostprep_native as hp  # C++ fast path
+            iso_scan, iso_shape = hp.resample_iso_int16(
+                scan_int16, spacing, iso_spacing, pad_value)
+            iso_lobe = hp.resample_iso_labels(lobe_u8, spacing, iso_spacing)
+        except Exception:
+            hp = None
+            iso_scan_f, iso_shape = resample_iso_np(scan_int16, spacing,
+                                                    iso_spacing, "linear",
+                                                    fill_value=pad_value)
+            iso_scan = np.round(iso_scan_f).astype(np.int16)
+            iso_lobe_f, _ = resample_iso_np(lobe_u8, spacing, iso_spacing,
+                                            "nearest", dtype=np.float32)
+            iso_lobe = iso_lobe_f.astype(np.uint8)
+
+        iso_vessel = None
+        if vessel_u8 is not None and np.any(vessel_u8):
+            if hp is not None:
+                iso_vessel = hp.resample_iso_labels(vessel_u8, spacing,
+                                                    iso_spacing)
+            else:
+                v_f, _ = resample_iso_np(vessel_u8, spacing, iso_spacing,
+                                         "nearest", dtype=np.float32)
+                iso_vessel = v_f.astype(np.uint8)
+
+        full_iso_shape = tuple(iso_shape)
+        crop_lo = np.zeros(3, np.int64)
+        if crop_to_lung:
+            crop_lo, crop_shape = lung_crop(iso_lobe)
+            sl = tuple(slice(int(l), int(l) + s)
+                       for l, s in zip(crop_lo, crop_shape))
+            iso_scan = np.ascontiguousarray(iso_scan[sl])
+            iso_lobe = np.ascontiguousarray(iso_lobe[sl])
+            if iso_vessel is not None:
+                iso_vessel = np.ascontiguousarray(iso_vessel[sl])
+            iso_shape = crop_shape
 
     if windowing_span is not None:
         packed_scan = window8(iso_scan, windowing_span)
