@@ -175,7 +175,12 @@ def _wire_layout_m(n_lobes, chunk, bucket):
     Returns ((offsets, total) for u8, i32, f32); offsets maps
     name -> (position, shape)."""
     n = n_lobes
-    u8 = [("x80", (n,) + tuple(chunk)),
+    # x80: bf16 bits (2 bytes, little-endian) of the windowed chunk value
+    # in [0, 1] — the wire carries exactly what the model's bf16 input
+    # cast would produce, so the chunk wire adds NO quantization beyond
+    # the compute dtype (the old u8 wire cost 1/255-level differences vs
+    # the w8 path, which the CAM max-norm then amplified)
+    u8 = [("x80", (n,) + tuple(chunk) + (2,)),
           ("lobe_bits", (-(-n * int(np.prod(bucket)) // 8),))]
     i32, f32 = [], []
     for ax in range(3):
@@ -663,7 +668,10 @@ class FastScanPipeline:
                   [_blob_get(f32b, lay_f32, f"fw_fr{ax}") for ax in range(3)])
             lmask = unpackbits_u8_dev(_blob_get(u8b, lay_u8, "lobe_bits"),
                                       (n_lobes, *bucket))
-            x80 = _blob_get(u8b, lay_u8, "x80").astype(jnp.float32) / 255.0
+            xb = _blob_get(u8b, lay_u8, "x80").astype(jnp.uint16)
+            bits = (xb[..., 0] | (xb[..., 1] << 8)).astype(jnp.uint16)
+            x80 = jax.lax.bitcast_convert_type(
+                bits, jnp.bfloat16).astype(jnp.float32)
             l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
             return x80, l80.astype(jnp.float32), lmask
 
@@ -861,7 +869,8 @@ class FastScanPipeline:
 
         prepc["_dev_m"] = [
             put(_pack_blob(m_u8, {
-                "x80": prepc["x80_u8"],
+                "x80": np.ascontiguousarray(
+                    prepc["x80_bits"]).view(np.uint8),
                 "lobe_bits": prepc["lobe_bits"]}, np.uint8)),
             put(_pack_blob(m_i32, mi32, np.int32)),
             put(_pack_blob(m_f32, mf32, np.float32))]
@@ -996,15 +1005,16 @@ def prep_scan_chunks(scan_int16, lobe_u8, spacing, iso_spacing=1.0,
     per-lobe chunk extraction and the intensity post-rule candidate, so
     the device sees only:
 
-      x80_u8     (n_lobes, *chunk) windowed model inputs, u8
+      x80_bits   (n_lobes, *chunk) windowed model inputs, bf16 bits
       lobe_bits  packbits(n_lobes, *bucket) lobe masks
       cand_bits  packbits(iso crop grid) intensity-Otsu & ~vessel
 
-    Chunk math mirrors stage2 up to the u8 wire quantization of the
-    resized chunk (mask -> window -> fw gather resize, then rounded to
-    u8 for the wire) — wc outputs can differ from the w8 path by up to
-    1/255 per input voxel, so masks are close but not bit-identical
-    across FAST_WIRE settings. The intensity threshold mirrors stage3's
+    Chunk math mirrors stage2 exactly (mask -> window -> fw gather
+    resize, then RNE-rounded to bf16 — the same rounding the model's
+    bf16 input cast applies, so the wire adds no quantization beyond the
+    compute dtype; residual wc-vs-w8 differences are f32 lerp
+    association ulps that flip a bf16 rounding on ~2^-16 of voxels).
+    The intensity threshold mirrors stage3's
     binary_cam_threshold on the w8-decoded scan, which quantizes to the
     same u8 levels this prep Otsu's over (reference job_runner.py:966-982
     crop/mask/window and :1008-1014 post rules).
@@ -1082,12 +1092,12 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     fw = forward_resize_weights(sizes, offsets, chunk_size, bucket)
     bw = backward_resize_weights(sizes, offsets, chunk_size, bucket)
 
-    x80 = np.zeros((n_lobes, *chunk_size), np.uint8)
+    x80 = np.zeros((n_lobes, *chunk_size), np.uint16)
     for li in range(n_lobes):
         if present[li]:
-            x80[li] = hp.extract_chunk_w8(scan_c, lobe_c, li + 1,
-                                          lows[li], sizes[li],
-                                          windowing_span, chunk_size)
+            x80[li] = hp.extract_chunk_bf16(scan_c, lobe_c, li + 1,
+                                            lows[li], sizes[li],
+                                            windowing_span, chunk_size)
 
     th = otsu_threshold_from_hist(hist)
     nz = np.nonzero(hist)[0]
@@ -1107,7 +1117,7 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
     lobe_bits = hp.lobe_bucket_bits(lobe_c, starts, bucket, n_lobes)
 
     return {"wire": "wc",
-            "x80_u8": x80,
+            "x80_bits": x80,
             "lobe_bits": lobe_bits,
             "cand_bits": cand_bits,
             "starts": starts, "bucket": bucket,
@@ -1140,7 +1150,7 @@ def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
     fw = forward_resize_weights(sizes, offsets, chunk_size, bucket)
     bw = backward_resize_weights(sizes, offsets, chunk_size, bucket)
 
-    x80 = np.zeros((n_lobes, *chunk_size), np.uint8)
+    x80 = np.zeros((n_lobes, *chunk_size), np.uint16)
     lmask = np.zeros((n_lobes, *bucket), bool)
     for li in range(n_lobes):
         if not present[li]:
@@ -1154,7 +1164,8 @@ def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
             xw, [fw[0][ax][li] for ax in range(3)],
             [fw[1][ax][li] for ax in range(3)],
             [fw[2][ax][li] for ax in range(3)])
-        x80[li] = np.clip(np.round(r * 255.0), 0, 255).astype(np.uint8)
+        import ml_dtypes
+        x80[li] = np.asarray(r, ml_dtypes.bfloat16).view(np.uint16)
 
     # intensity post-rule candidate (stage3 semantics on the w8 wire):
     # Otsu over the windowed-u8 scan within lung, scaled 0.75, compared
@@ -1177,7 +1188,7 @@ def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
         cand &= ~(vessel > 0)
 
     return {"wire": "wc",
-            "x80_u8": x80,
+            "x80_bits": x80,
             "lobe_bits": np.packbits(lmask.reshape(-1)),
             "cand_bits": np.packbits(cand.reshape(-1)),
             "starts": starts, "bucket": bucket,

@@ -79,6 +79,12 @@ def _lib():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.extract_chunk_bf16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         lib.window8_hist_i16.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_double,
@@ -284,6 +290,27 @@ class hostprep_native:
         size3 = np.ascontiguousarray(size3, np.int32)
         out = np.empty(tuple(chunk_size), np.uint8)
         _lib().extract_chunk_w8(
+            scan.ctypes.data, lobe.ctypes.data,
+            *[int(s) for s in scan.shape], int(label),
+            lo3.ctypes.data, size3.ctypes.data,
+            float(span[0]), float(span[1]),
+            *[int(c) for c in chunk_size], out.ctypes.data)
+        return out
+
+    @staticmethod
+    def extract_chunk_bf16(scan_i16, lobe_u8, label, lo3, size3, span,
+                           chunk_size):
+        """extract_chunk_w8's lossless twin for the bf16 chunk wire:
+        the same plane-cached masked-windowed trilinear field, emitted
+        as bf16 bits (uint16) of value/255 instead of rounded u8 — the
+        wire then carries exactly what the model's bf16 input cast
+        would produce, no extra quantization."""
+        scan = np.ascontiguousarray(scan_i16, np.int16)
+        lobe = np.ascontiguousarray(lobe_u8, np.uint8)
+        lo3 = np.ascontiguousarray(lo3, np.int32)
+        size3 = np.ascontiguousarray(size3, np.int32)
+        out = np.empty(tuple(chunk_size), np.uint16)
+        _lib().extract_chunk_bf16(
             scan.ctypes.data, lobe.ctypes.data,
             *[int(s) for s in scan.shape], int(label),
             lo3.ctypes.data, size3.ctypes.data,

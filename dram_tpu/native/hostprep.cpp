@@ -889,11 +889,21 @@ static void chunk_axis(int size, int out, int lo0, int32_t* lo,
 // One lobe's model chunk: value = (lobe == label) ? window8(scan) : 0 at
 // full res, trilinear-resized from the lobe bbox (lo3, size3) to
 // (cd, ch, cw), emitted as u8 (wire quantization).
-void extract_chunk_w8(const int16_t* scan, const uint8_t* lobe,
-                      int D, int H, int W, int label,
-                      const int32_t* lo3, const int32_t* size3,
-                      double w_lo, double w_hi,
-                      int cd, int ch, int cw, uint8_t* out) {
+// f32 -> bf16 bits, round-to-nearest-even (finite inputs only — the
+// windowed field is in [0, 255]).
+static inline uint16_t f32_to_bf16(float x) {
+    uint32_t u;
+    std::memcpy(&u, &x, 4);
+    u += 0x7fffu + ((u >> 16) & 1u);
+    return (uint16_t)(u >> 16);
+}
+
+static void extract_chunk_impl(const int16_t* scan, const uint8_t* lobe,
+                               int D, int H, int W, int label,
+                               const int32_t* lo3, const int32_t* size3,
+                               double w_lo, double w_hi,
+                               int cd, int ch, int cw, int as_bf16,
+                               void* out_v) {
     (void)D;
     // Plane-cached separable evaluation of the masked-windowed field:
     // each raw row inside the lobe bbox is masked+windowed and x-lerped
@@ -1007,7 +1017,19 @@ void extract_chunk_w8(const int16_t* scan, const uint8_t* lobe,
             }
             B = P1.data();
         }
-        uint8_t* orow = out + (int64_t)z * plane_n;
+        if (as_bf16) {
+            // bf16 wire: value/255 in [0, 1], RNE-rounded to bf16 bits —
+            // the same rounding the model's bf16 input cast applies, so
+            // the wire adds NO quantization beyond the compute dtype
+            uint16_t* orow = (uint16_t*)out_v + (int64_t)z * plane_n;
+            const float s = 1.0f / 255.0f;
+            for (int64_t i = 0; i < plane_n; ++i) {
+                const float a = A[i];
+                orow[i] = f32_to_bf16((a + fz * (B[i] - a)) * s);
+            }
+            continue;
+        }
+        uint8_t* orow = (uint8_t*)out_v + (int64_t)z * plane_n;
         int64_t i = 0;
 #ifdef HP_AVX512
         const __m512 fzv = _mm512_set1_ps(fz);
@@ -1029,6 +1051,24 @@ void extract_chunk_w8(const int16_t* scan, const uint8_t* lobe,
             orow[i] = (uint8_t)r;
         }
     }
+}
+
+void extract_chunk_w8(const int16_t* scan, const uint8_t* lobe,
+                      int D, int H, int W, int label,
+                      const int32_t* lo3, const int32_t* size3,
+                      double w_lo, double w_hi,
+                      int cd, int ch, int cw, uint8_t* out) {
+    extract_chunk_impl(scan, lobe, D, H, W, label, lo3, size3, w_lo, w_hi,
+                       cd, ch, cw, 0, out);
+}
+
+void extract_chunk_bf16(const int16_t* scan, const uint8_t* lobe,
+                        int D, int H, int W, int label,
+                        const int32_t* lo3, const int32_t* size3,
+                        double w_lo, double w_hi,
+                        int cd, int ch, int cw, uint16_t* out) {
+    extract_chunk_impl(scan, lobe, D, H, W, label, lo3, size3, w_lo, w_hi,
+                       cd, ch, cw, 1, out);
 }
 
 // Windowed-u8 wire + lung-masked 256-bin histogram in one pass (the
