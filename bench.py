@@ -37,8 +37,10 @@ Diagnosability (all on stderr):
     prep starvation, and program swaps become attributable;
   * a fixed-geometry CONTROL loop after the clock (geometry 0 only) to
     calibrate tunnel state against the mixed-geometry headline;
-  * a wc-vs-w8 wire parity line at the production geometry (Dice +
-    differing-voxel count; BENCH_PARITY=0 skips);
+  * wire parity lines at the production geometry (Dice + differing-
+    voxel counts; BENCH_PARITY=0 skips): wc vs p12 — the LOSSLESS pair,
+    gate Dice >= 0.995 — and wc vs w8, attributing the u8 iso wire's
+    documented 1/255 windowing quantization;
   * a fast-vs-slow parity line: the same production-geometry scan
     through the reference-shaped host-stitch path (engine.process_scan
     semantics, dram/job_runner.py:906-1068) vs the wc pipeline
@@ -159,31 +161,40 @@ def _err(line):
     print(line, file=sys.stderr, flush=True)
 
 
-def wire_parity_check(pipe, scan, lobe, spacing, span, wc_out):
-    """wc vs w8 masks on the production geometry (VERDICT: the wc wire's
-    u8 chunk quantization is bounded by Dice gates on small synthetic
-    scans; re-assert the bound at 512-class scale on hardware each round).
+def wire_parity_check(pipe, scan, lobe, spacing, span, wc_out, wire="p12"):
+    """wc vs an iso-scan wire on the production geometry (VERDICT r4 #5:
+    re-assert the wire bounds at 512-class scale on hardware each round).
+
+    wire="p12": the LOSSLESS pair — p12 ships exact integer-HU iso, wc
+    ships full-precision windowed bf16 chunks; both reproduce the
+    reference windowing math, so residual differences are f32 lerp ulps
+    (gate: Dice >= 0.995). wire="w8": the u8 iso wire's documented
+    1/255 windowing quantization (a bandwidth trade for narrow links) —
+    reported for attribution, expected slightly below the lossless pair.
     Reference post rules being compared: dram/job_runner.py:1008-1014."""
     import jax
     from dram_tpu.data.hostprep import prep_scan
 
     t0 = time.time()
-    prep = prep_scan(scan, lobe, spacing, windowing_span=span)
+    prep = prep_scan(scan, lobe, spacing,
+                     windowing_span=span if wire == "w8" else None)
     prep["packed_scan"] = jax.device_put(prep["packed_scan"])
     prep["packed_lobe"] = jax.device_put(prep["packed_lobe"])
-    w8 = pipe.process_prepped(prep, unpack=True)
+    other = pipe.process_prepped(prep, unpack=True)
     lines = []
     for name in ("pred", "post"):
         a = wc_out[name].astype(bool)
-        b = w8[name].astype(bool)
+        b = other[name].astype(bool)
         inter = int(np.logical_and(a, b).sum())
         na, nb = int(a.sum()), int(b.sum())
         dice = 2.0 * inter / max(na + nb, 1)
         diff = int(np.logical_xor(a, b).sum())
         lines.append(f"{name}: dice={dice:.4f} voxdiff={diff} "
-                     f"(wc={na} w8={nb})")
-    return (f"# wire-parity wc vs w8 @ {scan.shape}: " + "; ".join(lines)
-            + f" [{time.time() - t0:.1f}s incl. w8 compile/load]")
+                     f"(wc={na} {wire}={nb})")
+    label = "wc vs p12 (lossless wires)" if wire == "p12" \
+        else "wc vs w8 (u8 iso wire, its documented 1/255 quantization)"
+    return (f"# wire-parity {label} @ {scan.shape}: " + "; ".join(lines)
+            + f" [{time.time() - t0:.1f}s incl. compile/load]")
 
 
 def slow_path_parity_check(pipe, scan, lobe, spacing, span, wc_out):
@@ -645,10 +656,12 @@ def main():
     quiet_hits[0] = True  # diagnostics phases: count HITs, log MISSes
     if os.environ.get("BENCH_PARITY", "1") == "1" and wire == "wc" \
             and not mixed:
-        try:
-            note(wire_parity_check(pipe, *scans[0], span, out0))
-        except Exception as e:
-            note(f"# wire-parity check failed: {e!r}")
+        for wire_kind in ("p12", "w8"):
+            try:
+                note(wire_parity_check(pipe, *scans[0], span, out0,
+                                       wire=wire_kind))
+            except Exception as e:
+                note(f"# wire-parity ({wire_kind}) check failed: {e!r}")
         try:
             note(slow_path_parity_check(pipe, *scans[0], span, out0))
         except Exception as e:

@@ -78,7 +78,16 @@ class Windowing:
 def resample_array(v, spacing, require_spacing=None, new_size=None,
                    interpolator="linear", fill_value=0.0):
     """Reference `resample` contract (utils.py:414-434) on the separable
-    resampler: spacing is z-y-x; returns (array, new_spacing)."""
+    resampler: spacing is z-y-x; returns (array, new_spacing).
+
+    Integer inputs come back in the INPUT dtype: the reference's
+    resample_sitk_image passes `orig_pixelid` as the output pixel type
+    (reference utils.py:373-382), so sitk rounds a linear resample of an
+    int16 CT back to int16 — the iso grid every downstream consumer sees
+    is integer-HU quantized. Mirroring that here keeps the engine's
+    host-stitch path bit-aligned with the device wires (which carry
+    integer HU by construction); rounding is nearest-even, matching the
+    C++ fast path's cvtps2dq."""
     spacing = np.asarray(spacing, np.float64)
     if require_spacing is None:
         if new_size is None:
@@ -94,13 +103,23 @@ def resample_array(v, spacing, require_spacing=None, new_size=None,
         new_size = np.ceil(np.asarray(v.shape) * spacing / require_spacing).astype(int)
     scales = (require_spacing / spacing).tolist()
     out_shape = tuple(int(s) for s in new_size)
+    in_dtype = np.asarray(v).dtype
+    int_in = np.issubdtype(in_dtype, np.integer)
+
+    def cast(out):
+        if int_in:
+            info = np.iinfo(in_dtype)
+            return np.clip(np.round(out), info.min,
+                           info.max).astype(in_dtype)
+        return out
+
     # C++/OpenMP fast path (the hot loop of the training data pipeline)
     try:
         from ..native import hostprep_native as hp
         if interpolator == "linear":
             out = hp.resample_scales_f32(np.asarray(v, np.float32), scales,
                                          out_shape, fill_value)
-            return out, tuple(float(s) for s in require_spacing)
+            return cast(out), tuple(float(s) for s in require_spacing)
         if interpolator == "nearest" and \
                 np.asarray(v).dtype in (np.uint8, np.bool_):
             out = hp.resample_scales_u8_nearest(
@@ -110,7 +129,7 @@ def resample_array(v, spacing, require_spacing=None, new_size=None,
         pass
     out = itk_resample3d_np(v, out_shape, scales=scales,
                             method=interpolator, fill_value=fill_value)
-    return out, tuple(float(s) for s in require_spacing)
+    return cast(out), tuple(float(s) for s in require_spacing)
 
 
 class Resample:

@@ -149,6 +149,33 @@ def gather_resize(x, weights):
     return x
 
 
+def gather_resize_nearest(x, weights):
+    """Nearest-neighbour twin of gather_resize from the SAME (lo, hi,
+    frac) tables: per axis pick lo when frac < 0.5 else hi, i.e.
+    floor(src + 0.5) — the transforms' nearest convention for mask keys.
+
+    The lobe chunk the model consumes must be NEAREST-resampled exactly
+    like the reference preprocessing (T.Resample routes `#lobe_reference`
+    to nearest; reference dataset transforms do the same): the previous
+    linear-then->0.5 approximation differed from nearest by a one-voxel
+    shell at lobe boundaries, which shifted every per-lobe ratio by
+    ~0.01 vs the reference-shaped path — a systematic model-INPUT
+    difference, far larger than any wire quantization."""
+    los, his, fracs = weights
+
+    def one(xs, lo_s, hi_s, fr_s, axis):
+        idx = jnp.where(jnp.asarray(fr_s) < 0.5, jnp.asarray(lo_s),
+                        jnp.asarray(hi_s))
+        return jnp.take(xs, idx, axis=axis - 1)
+
+    for ax in range(3):
+        x = jax.vmap(lambda xs, lo_s, hi_s, fr_s, a=ax + 1:
+                     one(xs, lo_s, hi_s, fr_s, a))(
+            x, jnp.asarray(los[ax]), jnp.asarray(his[ax]),
+            jnp.asarray(fracs[ax]))
+    return x
+
+
 def _layout_seq(entries):
     off, pos = {}, 0
     for name, shape in entries:
@@ -381,7 +408,8 @@ class FastScanPipeline:
             fw = ([fw_los[i] for i in range(3)], [fw_his[i] for i in range(3)],
                   [fw_fracs[i] for i in range(3)])
             x80 = gather_resize(x, fw)                 # (5, 80,80,80)
-            l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
+            l80 = gather_resize_nearest(lmask.astype(jnp.float32),
+                                        fw) > 0.5
 
             dense, refined = model_eval.apply(
                 {"params": params, "batch_stats": batch_stats},
@@ -672,7 +700,8 @@ class FastScanPipeline:
             bits = (xb[..., 0] | (xb[..., 1] << 8)).astype(jnp.uint16)
             x80 = jax.lax.bitcast_convert_type(
                 bits, jnp.bfloat16).astype(jnp.float32)
-            l80 = gather_resize(lmask.astype(jnp.float32), fw) > 0.5
+            l80 = gather_resize_nearest(lmask.astype(jnp.float32),
+                                        fw) > 0.5
             return x80, l80.astype(jnp.float32), lmask
 
         self._stage2[key] = stage2pre
@@ -1134,13 +1163,20 @@ def _prep_scan_chunks_native(scan_int16, lobe_u8, spacing, iso_spacing,
 def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
                          pad_value, vessel_u8, windowing_span,
                          chunk_size, n_lobes, crop_border_mm):
-    from ..data.hostprep import prep_scan
+    from ..data.hostprep import prep_scan, unpack12_np, window8
 
+    # p12 wire: the chunks interpolate the FULL-PRECISION windowed field
+    # of the integer-HU iso grid (reference windowing is f32); only the
+    # intensity post rule below works on u8 levels (the reference's own
+    # Otsu quantizes to u8, reference utils.py:226-242)
     prep = prep_scan(scan_int16, lobe_u8, spacing, iso_spacing=iso_spacing,
                      pad_value=pad_value, vessel_u8=vessel_u8,
-                     windowing_span=windowing_span)
+                     windowing_span=None)
     iso_shape = prep["iso_shape"]
-    u = prep["packed_scan"].reshape(iso_shape)          # windowed u8
+    iso_i16 = unpack12_np(prep["packed_scan"],
+                          prep["n_voxels"]).reshape(iso_shape)
+    u = window8(iso_i16, windowing_span).reshape(iso_shape)  # u8 twin
+    lo_w, hi_w = float(windowing_span[0]), float(windowing_span[1])
     iso_lobe = prep["iso_lobe_host"]
 
     border_vox = int(np.ceil(crop_border_mm / prep["iso_spacing"]))
@@ -1159,7 +1195,10 @@ def _prep_scan_chunks_np(scan_int16, lobe_u8, spacing, iso_spacing,
                    for s, b in zip(starts[li], bucket))
         crop_l = iso_lobe[sl] == (li + 1)
         lmask[li] = crop_l
-        xw = np.where(crop_l, u[sl].astype(np.float32) / 255.0, 0.0)
+        xw = np.where(
+            crop_l,
+            np.clip((iso_i16[sl].astype(np.float32) - lo_w)
+                    / max(hi_w - lo_w, 1e-6), 0.0, 1.0), 0.0)
         r = _host_gather_resize(
             xw, [fw[0][ax][li] for ax in range(3)],
             [fw[1][ax][li] for ax in range(3)],

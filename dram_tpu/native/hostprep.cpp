@@ -916,12 +916,18 @@ static void extract_chunk_impl(const int16_t* scan, const uint8_t* lobe,
     chunk_axis(size3[0], cd, 0, zlo.data(), zhi.data(), zf.data());
     chunk_axis(size3[1], ch, 0, ylo.data(), yhi.data(), yf.data());
     chunk_axis(size3[2], cw, 0, xlo.data(), xhi.data(), xf.data());
-    const float inv = (float)(255.0 / (w_hi - w_lo));
+    // u8 wire: windowed values on the 0..255 level grid, rounded (the
+    // wire quantization). bf16 wire: full-precision windowed values in
+    // [0, 1] — NO level rounding, so the chunk wire carries exactly the
+    // reference's windowing math (windowing is f32 in the reference;
+    // only its Otsu quantizes to u8, reference utils.py:226-242)
+    const float inv = as_bf16 ? (float)(1.0 / (w_hi - w_lo))
+                              : (float)(255.0 / (w_hi - w_lo));
     const float flo = (float)w_lo, fhi = (float)w_hi;
     const int sw = size3[2];
     const uint8_t lab = (uint8_t)label;
 
-    // masked + windowed + rounded raw row (f32), local x in the bbox
+    // masked + windowed (+ u8-rounded) raw row (f32), local x in bbox
     std::vector<float> mbuf(sw);
     auto mat_row = [&](int zi, int yi, float* mrow) {
         const int64_t off =
@@ -941,8 +947,9 @@ static void extract_chunk_impl(const int16_t* scan, const uint8_t* lobe,
                 _mm256_loadu_si256((const __m256i*)(srow + x))));
             v = _mm512_min_ps(_mm512_max_ps(v, vlo), vhi);
             v = _mm512_mul_ps(_mm512_sub_ps(v, vlo), vinv);
-            v = _mm512_roundscale_ps(
-                v, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+            if (!as_bf16)
+                v = _mm512_roundscale_ps(
+                    v, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
             _mm512_storeu_ps(mrow + x, _mm512_maskz_mov_ps(m, v));
         }
 #endif
@@ -954,7 +961,8 @@ static void extract_chunk_impl(const int16_t* scan, const uint8_t* lobe,
             float v = (float)srow[x];
             if (v < flo) v = flo;
             if (v > fhi) v = fhi;
-            mrow[x] = std::nearbyintf((v - flo) * inv);
+            const float t = (v - flo) * inv;
+            mrow[x] = as_bf16 ? t : std::nearbyintf(t);
         }
     };
 
@@ -1018,14 +1026,14 @@ static void extract_chunk_impl(const int16_t* scan, const uint8_t* lobe,
             B = P1.data();
         }
         if (as_bf16) {
-            // bf16 wire: value/255 in [0, 1], RNE-rounded to bf16 bits —
-            // the same rounding the model's bf16 input cast applies, so
-            // the wire adds NO quantization beyond the compute dtype
+            // bf16 wire: full-precision windowed value in [0, 1],
+            // RNE-rounded to bf16 bits — the same rounding the model's
+            // bf16 input cast applies, so the wire adds NO quantization
+            // beyond the compute dtype
             uint16_t* orow = (uint16_t*)out_v + (int64_t)z * plane_n;
-            const float s = 1.0f / 255.0f;
             for (int64_t i = 0; i < plane_n; ++i) {
                 const float a = A[i];
-                orow[i] = f32_to_bf16((a + fz * (B[i] - a)) * s);
+                orow[i] = f32_to_bf16(a + fz * (B[i] - a));
             }
             continue;
         }

@@ -280,3 +280,30 @@ class TestChunkWire:
         pp = np.bitwise_and(np.asarray(host["pred_packed"]),
                             prepc["cand_bits"])
         np.testing.assert_array_equal(pp, host["post_packed"])
+
+
+class TestGatherNearest:
+    def test_matches_transform_nearest(self, rng):
+        """gather_resize_nearest == T.Resample's nearest (mask-key)
+        convention on the same crop->chunk geometry: the lobe chunk the
+        model consumes must be NEAREST-resampled exactly like the
+        reference preprocessing (the old linear>0.5 approximation
+        differed by a one-voxel shell at lobe boundaries)."""
+        import numpy as np
+        from dram_tpu.data import transforms as T
+        from dram_tpu.infer.fast import (forward_resize_weights,
+                                         gather_resize_nearest)
+        size = (13, 21, 17)
+        out = (16, 16, 16)
+        mask = (rng.uniform(size=size) > 0.5).astype(np.uint8)
+        # bucket == crop (offset 0)
+        fw = forward_resize_weights(np.array([size]), np.zeros((1, 3), int),
+                                    out, size)
+        got = np.asarray(gather_resize_nearest(
+            mask[None].astype(np.float32), fw))[0]
+        ret = T.Resample(mode="fixed_size", factor=1.0, size=out)(
+            {"#image": np.zeros(size, np.int16),
+             "#lobe_reference": mask,
+             "meta": {"size": size, "spacing": (1.0, 1.0, 1.0)}})
+        np.testing.assert_array_equal(got.astype(np.uint8),
+                                      ret["#lobe_reference"])
