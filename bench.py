@@ -386,8 +386,11 @@ def main():
     quiet_hits = [False]
 
     def cache_sink(line):
-        if quiet_hits[0] and " HIT " in line:
-            return
+        if quiet_hits[0] and " HIT " in line and not any(
+                k in line for k in ("train_step", "stage2", "stage1",
+                                    "stage3", "fwd1")):
+            return  # suppress tiny-program HIT floods, keep the ones
+            # the round artifact must prove (e.g. jit_train_step)
         _err(line)
 
     log_cache_events(sink=cache_sink, counts=cache_counts)

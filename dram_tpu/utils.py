@@ -134,6 +134,15 @@ def enable_compilation_cache(path=None, min_compile_secs=0.0, seed=True):
     `<repo>/warm_cache/` (built by tools/seed_xla_cache.py), and this
     function unpacks any that are missing from the runtime cache — so a
     fresh clone starts warm instead of paying the full cold compile.
+
+    GOTCHA (measured, round 5): under the tunneled TPU backend the cache
+    KEY depends on the cache-dir value itself (three dirs produced three
+    disjoint 377-entry key sets for identical programs; the same dir is
+    key-stable across sessions) — the remote-compile path folds the
+    configured dir into the hashed compile options. warm_cache/ must
+    therefore be harvested from a run using the DEFAULT `<repo>/
+    .xla_cache` dir, and DRAM_TPU_CACHE_DIR overrides will recompile
+    from cold. Keep seed-building runs on the default dir.
     Returns the cache directory, or None when the running jax build does
     not support the persistent-cache config knobs.
     """

@@ -8,11 +8,16 @@ first mask. This tool copies selected entries out of a runtime cache into
 `dram_tpu.utils.enable_compilation_cache` unpacks them back into any
 fresh runtime cache at startup.
 
-Build the seed by running the workload once against a scratch cache, then
-packing everything it created:
+Build the seed by running the workload once against a FRESH DEFAULT-PATH
+cache, then packing everything it created. The cache dir must be the
+default `<repo>/.xla_cache`: under the tunneled TPU backend the cache
+key depends on the configured dir value (see
+utils.enable_compilation_cache), so entries harvested from a scratch
+dir never hit in normal runs:
 
-    DRAM_TPU_CACHE_DIR=.seed_tmp DRAM_TPU_NO_SEED_CACHE=1 python bench.py
-    python tools/seed_xla_cache.py .seed_tmp
+    mv .xla_cache .xla_cache_old   # or rm -rf
+    DRAM_TPU_NO_SEED_CACHE=1 python bench.py
+    python tools/seed_xla_cache.py .xla_cache --clean
 
 Usage:
     python tools/seed_xla_cache.py <runtime-cache-dir> [--out warm_cache]
