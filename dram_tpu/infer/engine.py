@@ -116,7 +116,7 @@ class LesionSegTest:
         batched all-device pipeline; outputs arrive at the original grid.
 
         FAST_WIRE selects the host->device wire: "wc" (default — per-lobe
-        chunk extraction on host, ~10 MB/scan) or "w8" (whole windowed
+        chunk extraction on host, bf16 chunk bits, ~6 MB/scan) or "w8" (whole windowed
         lung window, ~40 MB/scan; all prep math on device). With `device`
         (scan-level multi-chip parallelism, wc wire) the whole scan runs
         committed to that chip."""

@@ -186,7 +186,7 @@ def _layout_seq(entries):
 
 def _wire_layout_m(n_lobes, chunk, bucket):
     """Static layout of the MODEL-side chunk-wire blobs (consumed by the
-    bucket-keyed pre stage): windowed-u8 model chunks, 1-bit lobe bucket
+    bucket-keyed pre stage): bf16-bit windowed model chunks, 1-bit lobe bucket
     masks, and the crop->chunk forward-resize gather tables.
 
     The wire is split in two (model-side here, stitch-side in
@@ -911,7 +911,7 @@ class FastScanPipeline:
 
     def process_chunks(self, prepc, unpack=True, want_heatmap=False):
         """Device path for the chunk wire (prep_scan_chunks): H2D moves
-        only the 5 windowed-u8 model chunks, 1-bit lobe bucket masks and
+        only the 5 bf16-bit windowed model chunks, 1-bit lobe bucket masks and
         the stitch tables — the 1-bit post-rule candidate stays host-side
         (post = packed-pred AND packed-cand after the D2H) — ~8x less
         than the w8 scan wire.
