@@ -798,15 +798,22 @@ class FastScanPipeline:
             # intensity+vessel candidate is exact either way: the w8
             # wire already quantizes the windowed scan to the u8 levels
             # the Otsu bins over; vessel is folded in).
+            meta = jnp.concatenate([ratio.astype(jnp.float32),
+                                    th.astype(jnp.float32)[None]])
             if want_heatmap:
                 cand = unpackbits_u8_dev(cand_packed[0], iso_shape)
                 post = pred & cand
                 masks = jnp.stack([packbits_u8(back(pred)),
                                    packbits_u8(back(post))])
             else:
-                masks = packbits_u8(pred)
-            meta = jnp.concatenate([ratio.astype(jnp.float32),
-                                    th.astype(jnp.float32)[None]])
+                # single-RPC D2H: the tiny meta vector rides as trailing
+                # bytes of the packed-mask vector, so the host fetches
+                # ONE array per scan instead of two. On tunneled links
+                # the per-RPC latency (measured ~1 s when degraded,
+                # ~30-100 ms healthy) was a full extra pipeline stage.
+                meta_u8 = jax.lax.bitcast_convert_type(
+                    meta, jnp.uint8).reshape(-1)
+                masks = jnp.concatenate([packbits_u8(pred), meta_u8])
             outs = (masks, meta)
             if want_heatmap:
                 heat_u8 = jnp.clip(back(htp) * 255.0, 0, 255).astype(jnp.uint8)
@@ -946,26 +953,33 @@ class FastScanPipeline:
         masks, meta = res[0], res[1]
         cand_np = np.asarray(prepc["cand_bits"], np.uint8) if on_iso \
             else None
+        # iso wire: the meta f32s ride as trailing bytes of `masks`
+        # (single-RPC D2H); mask_bytes marks the split point
+        mask_bytes = int(np.prod(iso_shape)) // 8 if on_iso else None
         if unpack:
-            meta_np = np.asarray(meta)
-            th, ratio = float(meta_np[-1]), meta_np[:-1]
             if on_iso:
-                pred_p = np.asarray(masks)
+                combined = np.asarray(masks)
+                pred_p = combined[:mask_bytes]
+                meta_np = combined[mask_bytes:].view(np.float32)
                 post_p = np.bitwise_and(pred_p, cand_np)
             else:
+                meta_np = np.asarray(meta)
                 masks_np = np.asarray(masks)
                 pred_p, post_p = masks_np[0], masks_np[1]
+            th, ratio = float(meta_np[-1]), meta_np[:-1]
         else:
             # keep everything on device: the caller's finish stage fetches
-            # masks_packed/meta in two RPCs, off the dispatch path, and
-            # (iso wire) derives post by ANDing the packed pred with
-            # `cand_bits` host-side
+            # the combined masks+meta vector in ONE RPC, off the dispatch
+            # path, and (iso wire) derives post by ANDing the packed pred
+            # with `cand_bits` host-side. threshold/ratios stay as LAZY
+            # device slices — materializing them costs an extra RPC.
             th, ratio = meta[-1], meta[:-1]
             if on_iso:
                 pred_p, post_p = masks, None
             else:
                 pred_p, post_p = masks[0], masks[1]
         out = {"masks_packed": masks, "meta": meta,
+               "meta_in_masks": bool(on_iso), "mask_bytes": mask_bytes,
                "pred_packed": pred_p, "post_packed": post_p,
                "cand_bits": cand_np,
                "threshold": th, "ratios": ratio,
