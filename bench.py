@@ -563,10 +563,14 @@ def main():
         # the host unpack of scan k-1 (and the device compute of k+1),
         # instead of the dispatch loop serializing on one finish at a
         # time — the r03/r04 telemetry showed devwait ~30 ms but the
-        # depth-1 finish (D2H + unpack) bounding the steady state
-        finish_pool = ThreadPoolExecutor(2)
-        depth = 2
-        fdepth = 2
+        # depth-1 finish (D2H + unpack) bounding the steady state.
+        # BENCH_FDEPTH raises the in-flight finish count for degraded
+        # tunnels where the d2h RPC stretches to seconds (r5 close
+        # measured d2h 1741 ms median for the usual ~200 ms payloads):
+        # more overlapped fetches amortize tunnel latency per scan.
+        fdepth = int(os.environ.get("BENCH_FDEPTH", "2"))
+        finish_pool = ThreadPoolExecutor(max(2, fdepth))
+        depth = int(os.environ.get("BENCH_PDEPTH", "2"))
         n = len(schedule)
         queue = [prep_pool.submit(prep_and_upload, *scans[schedule[k]])
                  for k in range(min(depth, n))]
