@@ -47,6 +47,13 @@ Diagnosability (all on stderr):
     (BENCH_PARITY=0 skips);
   * a training-throughput record (flagship train step, ms/step +
     chunks/s; BENCH_TRAIN=0 skips) as a `# train-record`-prefixed line.
+
+Knobs (all env vars, defaults in parens): BENCH_SCANS (12) / BENCH_CONTROL
+(6) timed-loop lengths, BENCH_MIXED=1 shape-heterogeneous worklist,
+BENCH_WIRE (wc | w8 | p12), BENCH_FDEPTH (2) / BENCH_PDEPTH (2) in-flight
+finish / prep stage depths (raise FDEPTH when a degraded tunnel stretches
+the packed-mask D2H RPC to seconds), BENCH_PARITY / BENCH_TRAIN (1) phase
+gates, BENCH_RANDOM_WEIGHTS=1 to skip the trained-weights asset.
 """
 
 import json
